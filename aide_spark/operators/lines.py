@@ -1,0 +1,126 @@
+"""P1/P2 — page text extraction + line tokenization (SURVEY.md §2.4).
+
+The reference walks ``pdf_reader.pages[i].extract_text().split('\\n')``
+(union_bank_extractor.py:237-257, canara_bank_extractor.py:186-226,
+apgvb_extractor.py:553-614,666-671). Here the canonical input is already a
+span table, so:
+
+* pages  = the text spans joined by '\\n', split on form-feed marker spans —
+  a pure array expression per doc, zero shuffle;
+* lines  = ``posexplode`` of text spans + one window over ``doc_id`` to
+  assign page numbers (1 + number of page-break spans before the span).
+
+All downstream windows partition by ``doc_id`` (or ``doc_id, page``, which
+hash-partitioning on ``doc_id`` already satisfies), so the whole parse
+pipeline incurs exactly ONE shuffle for the line table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import PAGE_BREAK
+
+# regex that eats the page-break marker line plus the newlines that joined it
+_BREAK_RE = "\n?\f\n?"
+
+
+def py_strip(c: Column) -> Column:
+    """Python ``str.strip()`` semantics (all whitespace, not just spaces —
+    ``F.trim`` strips spaces only)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def pages_col(spans: Column) -> Column:
+    """array<string> of per-page text, exactly as a PDF reader would yield it
+    (media spans contribute no text; PAGE_BREAK spans delimit pages)."""
+    texts = F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("text")), lambda s: s["text"]
+    )
+    return F.split(F.array_join(texts, "\n"), _BREAK_RE)
+
+
+def head_text_col(spans: Column, n_pages: int, sep_newline: bool = False) -> Column:
+    """Concatenated text of the first ``n_pages`` pages.
+
+    ``sep_newline=False`` mirrors the validator's content probe
+    (pdf_validator.py:214-219: ``total_text += text``);
+    ``sep_newline=True`` mirrors APGVB metadata assembly
+    (apgvb_extractor.py:491-494: ``combined += text + '\\n'``).
+    """
+    pages = F.slice(pages_col(spans), 1, n_pages)
+    if sep_newline:
+        return F.array_join(F.transform(pages, lambda p: F.concat(p, F.lit("\n"))), "")
+    return F.array_join(pages, "")
+
+
+def media_in_first_pages(spans: Column, n_pages: int = 5) -> Column:
+    """V6 image probe: any media span within the first N pages
+    (pdf_validator.py:209-232). Single array-fold, no shuffle."""
+    return F.aggregate(
+        spans,
+        F.struct(F.lit(1).alias("page"), F.lit(False).alias("found")),
+        lambda acc, s: F.struct(
+            (
+                acc["page"]
+                + ((s["kind"] == "text") & (s["text"] == PAGE_BREAK)).cast("int")
+            ).alias("page"),
+            (
+                acc["found"]
+                | ((s["kind"] == "media") & (acc["page"] <= n_pages))
+            ).alias("found"),
+        ),
+        lambda acc: acc["found"],
+    )
+
+
+def line_table(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Explode documents into ``(doc_id, page, off, line)`` (+ ``carry``
+    columns, e.g. the routing dimension ``bank_id``).
+
+    ``off`` is the global span offset (total order within the doc); ``page``
+    is 1-based. Page-break markers and media spans are dropped — parsers see
+    the same stripped line stream the reference iterates.
+    """
+    spans = docs.select("doc_id", *carry, F.posexplode("spans").alias("pos", "s"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    is_break = (F.col("s.kind") == "text") & (F.col("s.text") == PAGE_BREAK)
+    return (
+        spans.withColumn(
+            "page",
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(is_break.cast("int")).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).cast("int"),
+        )
+        .where((F.col("s.kind") == "text") & ~is_break)
+        .select(
+            "doc_id",
+            *carry,
+            "page",
+            F.col("s.offset").alias("off"),
+            F.trim(F.col("s.text")).alias("line"),
+        )
+    )
+
+
+def first_page_lines(spans: Column) -> Column:
+    """array<string> of trimmed first-page lines (metadata probes operate on
+    this — the reference reads only page 1, union_bank_extractor.py:79)."""
+    return F.transform(
+        F.split(F.element_at(pages_col(spans), 1), "\n"), lambda l: F.trim(l)
+    )
+
+
+def two_page_lines(spans: Column) -> Column:
+    """APGVB metadata line array: first two pages + trailing newline
+    (apgvb_extractor.py:491-496)."""
+    return F.transform(
+        F.split(head_text_col(spans, 2, sep_newline=True), "\n"), lambda l: F.trim(l)
+    )

@@ -1,0 +1,123 @@
+"""V1-V10 — per-document validation stage, fully columnar (SURVEY.md §2.2).
+
+Re-expresses ``/root/reference/api/validators/pdf_validator.py`` over the
+spans input. The reference's fail-fast predicate ordering (cheapest first:
+integrity → size → encryption → page count → content, pdf_validator.py:44-73)
+is preserved as a single ``when`` ladder — one narrow projection, no shuffle,
+runs BEFORE the parse stage so invalid docs never reach the expensive parser
+(manual predicate-pushdown across the UDF-free parse boundary, SURVEY.md §4).
+
+Spans-model analogues:
+* NOT_PDF/CORRUPTED magic-bytes check   → spans array is NULL        (V1)
+* file-size gate  (> 25 MB)             → declared_size_mb column    (V2)
+* decrypt-with-trimmed-retry            → password equality vs the fixture
+  password, with the ``strip()`` retry (pdf_validator.py:113-134)    (V4)
+* page gates (0 / > 200)                → form-feed page count       (V5)
+* text/scanned/hybrid classification    → first-5-pages text length +
+  media-span probe (pdf_validator.py:199-250)                        (V6)
+
+Quirk reproduced: a text-poor PDF with no images classifies as
+``PDFType.INVALID`` yet validates ``is_valid=True`` (pdf_validator.py:242-250
+returns INVALID which only SCANNED short-circuits at :173-179).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..generator import CORRECT_PASSWORD
+from .lines import head_text_col, media_in_first_pages, pages_col
+
+MAX_PAGES = 200          # pdf_validator.py:29
+MAX_FILE_SIZE_MB = 25    # pdf_validator.py:30
+MIN_TEXT_LENGTH = 100    # pdf_validator.py:31
+
+
+def validate(docs: DataFrame) -> DataFrame:
+    """documents → VALIDATION rows (one per doc, all columns computed in a
+    single whole-stage-codegen projection)."""
+    spans = F.col("spans")
+    pages = pages_col(spans)
+    page_count = F.when(F.size(spans) <= 0, F.lit(0)).otherwise(F.size(pages))
+    # total_text = ''.join(first 5 page texts); length of Python-strip()ped text
+    text5 = head_text_col(spans, 5)
+    text_length = F.length(F.regexp_replace(text5, r"^\s+|\s+$", ""))
+    has_media = media_in_first_pages(spans, 5)
+
+    wrong_pw = (
+        F.col("encrypted")
+        & F.col("password").isNotNull()
+        & (F.col("password") != CORRECT_PASSWORD)
+        & (F.trim(F.col("password")) != CORRECT_PASSWORD)  # trimmed retry (V4)
+    )
+
+    result = F.when(
+        spans.isNull(),
+        _res(False, "invalid", "CORRUPTED", 0.0),
+    ).when(
+        F.col("declared_size_mb") > MAX_FILE_SIZE_MB,
+        _res(False, "invalid", "FILE_TOO_LARGE", 0.0),
+    ).when(
+        F.col("encrypted") & F.col("password").isNull(),
+        _res(False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
+    ).when(
+        wrong_pw,
+        _res(False, "invalid", "WRONG_PASSWORD", 0.0),
+    ).when(
+        page_count == 0,
+        _res(False, "invalid", "EMPTY_PDF", 0.0),
+    ).when(
+        page_count > MAX_PAGES,
+        _res(False, "invalid", "TOO_MANY_PAGES", 0.0),
+    ).when(
+        (text_length < MIN_TEXT_LENGTH) & has_media,
+        _res(False, "scanned", "NO_TEXT_CONTENT", 0.3),
+    ).when(
+        text_length < MIN_TEXT_LENGTH,  # the INVALID-yet-valid quirk
+        _res(True, "invalid", "VALID", 1.0),
+    ).when(
+        has_media,
+        _res(True, "hybrid", "VALID", 1.0),
+    ).otherwise(
+        _res(True, "text", "VALID", 1.0)
+    )
+
+    return docs.select(
+        "doc_id",
+        result.getField("is_valid").alias("is_valid"),
+        result.getField("pdf_type").alias("pdf_type"),
+        result.getField("error_code").alias("error_code"),
+        result.getField("confidence_score").alias("confidence_score"),
+        page_count.cast("int").alias("page_count"),
+        text_length.cast("int").alias("text_length"),
+    )
+
+
+def _res(is_valid: bool, pdf_type: str, error_code: str, confidence: float):
+    return F.struct(
+        F.lit(is_valid).alias("is_valid"),
+        F.lit(pdf_type).alias("pdf_type"),
+        F.lit(error_code).alias("error_code"),
+        F.lit(confidence).alias("confidence_score"),
+    )
+
+
+ERROR_MESSAGES = {  # error_codes.py:25-36 (V9)
+    "VALID": "PDF is valid and ready for processing",
+    "NOT_PDF": "File is not a valid PDF document",
+    "CORRUPTED": "PDF appears to be corrupted or damaged",
+    "FILE_TOO_LARGE": "File size exceeds the maximum allowed limit of 25MB",
+    "ENCRYPTED_NO_PASSWORD": "PDF is password protected but no password was provided",
+    "WRONG_PASSWORD": "The provided password is incorrect",
+    "NO_TEXT_CONTENT": "This appears to be a scanned PDF without extractable text. Please use a text-based PDF.",
+    "EMPTY_PDF": "PDF has no pages or is empty",
+    "TOO_MANY_PAGES": "PDF has too many pages (maximum allowed is 200)",
+}
+
+
+def with_error_message(validation: DataFrame) -> DataFrame:
+    """V9 — error-code → message projection, incl. the size/page
+    interpolations (error_codes.py:38-58)."""
+    mapping = F.create_map(*[F.lit(x) for kv in ERROR_MESSAGES.items() for x in kv])
+    return validation.withColumn("error_message", mapping[F.col("error_code")])

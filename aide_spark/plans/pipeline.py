@@ -1,0 +1,198 @@
+"""End-to-end extraction pipeline (the Spark restatement of lifecycle E1,
+SURVEY.md §3).
+
+documents scan → columnar validation (quarantine split) → bank routing (J1:
+the 3-row config dimension collapses to a filter-per-branch dispatch; no
+reflection) → per-bank parse (explode → segmentation windows → record
+expressions) → per-doc metadata + summary aggregates → ordered span emission.
+
+Scale notes (100 TB, 1000 executors):
+* validation + metadata are per-row projections on the docs table — narrow,
+  no shuffle, whole-stage codegen;
+* each parser branch shuffles once on hash(doc_id) for its windows; the
+  grouped segment agg and per-doc windows reuse that exchange;
+* per-doc work ∝ span count ⇒ page-count skew; call
+  :func:`aide_spark.operators.skew.repartition_by_span_count` before parsing
+  when the corpus has heavy-tailed docs (SURVEY.md §4.1);
+* the final assembly joins are all on doc_id — co-partitioned equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import apgvb_parser, canara_parser, union_parser, validation
+from ..operators.lines import line_table
+from ..serialize import meta_texts_col, summary_text_col, txn_text_col
+
+SUMMARY_COLS = [
+    "doc_id", "opening_balance", "closing_balance", "total_debits",
+    "total_credits", "net_change", "transaction_count", "from_date", "to_date",
+]
+
+
+def split_valid(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (validation, valid_docs, quarantine). Quarantine is the DLQ analogue
+    (SURVEY.md §2.11): invalid docs carry their error_code, never poison the
+    parse stage."""
+    val = validation.validate(docs)
+    valid = docs.join(val.where("is_valid").select("doc_id"), "doc_id", "left_semi")
+    quarantine = docs.join(
+        val.where(~F.col("is_valid")).select("doc_id", "error_code", "pdf_type"),
+        "doc_id",
+    ).select("doc_id", "bank_id", "error_code", "pdf_type")
+    return val, valid, quarantine
+
+
+def parse_all(valid_docs: DataFrame) -> dict[str, DataFrame]:
+    """Dispatch valid docs to the three bank parsers; union the results.
+
+    Returns {'transactions', 'metadata', 'summaries'} DataFrames.
+    """
+    lines = line_table(valid_docs, carry=("bank_id",))
+    u_lines = lines.where(F.col("bank_id") == "UNION").drop("bank_id")
+    c_lines = lines.where(F.col("bank_id") == "CANARA").drop("bank_id")
+    a_lines = lines.where(F.col("bank_id") == "APGVB").drop("bank_id")
+
+    u_docs = valid_docs.where(F.col("bank_id") == "UNION")
+    c_docs = valid_docs.where(F.col("bank_id") == "CANARA")
+    a_docs = valid_docs.where(F.col("bank_id") == "APGVB")
+
+    u_txn = union_parser.transactions(u_lines)
+    c_txn = canara_parser.transactions(c_lines)
+    a_txn = apgvb_parser.transactions(a_lines)
+    transactions = u_txn.unionByName(c_txn).unionByName(a_txn)
+
+    u_meta = union_parser.metadata(u_docs)
+    c_meta = canara_parser.metadata(c_docs)
+    a_meta = apgvb_parser.metadata(a_docs)
+    metadata = u_meta.unionByName(c_meta).unionByName(a_meta)
+
+    summaries = (
+        union_parser.summary(u_txn)
+        .select(*SUMMARY_COLS)
+        .unionByName(canara_parser.summary(c_txn).select(*SUMMARY_COLS))
+        .unionByName(apgvb_parser.summary(a_txn, a_meta).select(*SUMMARY_COLS))
+    )
+    return {"transactions": transactions, "metadata": metadata, "summaries": summaries}
+
+
+def media_spans(valid_docs: DataFrame) -> DataFrame:
+    """Pass-through media spans (doc_id, offset-ordered media_ref array)."""
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    return valid_docs.select(
+        "doc_id",
+        F.transform(
+            F.array_sort(
+                F.transform(media, lambda s: F.struct(s["offset"].alias("o"),
+                                                      s["media_ref"].alias("m")))
+            ),
+            lambda x: x["m"],
+        ).alias("media_refs"),
+    )
+
+
+def spans_out(valid_docs: DataFrame, parsed: dict[str, DataFrame]) -> DataFrame:
+    """Assemble the ordered output span sequence per doc:
+    meta spans → media pass-through → txn spans → summary span."""
+    meta_arr = parsed["metadata"].select(
+        "doc_id", meta_texts_col(F.col("metadata")).alias("meta_texts")
+    )
+    txn_arr = (
+        parsed["transactions"]
+        .withColumn("txn_text", txn_text_col())
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order", "txn_text"))),
+                lambda x: x["txn_text"],
+            ).alias("txn_texts")
+        )
+    )
+    sum_arr = parsed["summaries"].select(
+        "doc_id", F.array(summary_text_col()).alias("summary_texts")
+    )
+    assembled = (
+        meta_arr.join(media_spans(valid_docs), "doc_id", "left")
+        .join(txn_arr, "doc_id", "left")
+        .join(sum_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.transform(
+                    F.col("meta_texts"),
+                    lambda t: F.struct(F.lit("meta").alias("kind"), t.alias("text"),
+                                       F.lit("").alias("media_ref")),
+                ),
+                F.transform(
+                    F.coalesce(F.col("media_refs"), F.array()),
+                    lambda m: F.struct(F.lit("media").alias("kind"),
+                                       F.lit("").alias("text"), m.alias("media_ref")),
+                ),
+                F.transform(
+                    F.coalesce(F.col("txn_texts"), F.array().cast("array<string>")),
+                    lambda t: F.struct(F.lit("txn").alias("kind"), t.alias("text"),
+                                       F.lit("").alias("media_ref")),
+                ),
+                F.transform(
+                    F.coalesce(F.col("summary_texts"), F.array().cast("array<string>")),
+                    lambda t: F.struct(F.lit("summary").alias("kind"), t.alias("text"),
+                                       F.lit("").alias("media_ref")),
+                ),
+            ).alias("all_spans"),
+        )
+    )
+    return assembled.select(
+        "doc_id", F.posexplode("all_spans").alias("seq", "s")
+    ).select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def results_envelope(parsed: dict[str, DataFrame]) -> DataFrame:
+    """The STANDARD_RESPONSE_SCHEMA analogue (base_extractor.py:138-159):
+    one row per doc with metadata struct, summary struct, transactions array
+    and total_transactions (processed_at excluded — nondeterministic id/time
+    fields are outside the equality surface, SURVEY.md §2.9)."""
+    txns = (
+        parsed["transactions"]
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("order", F.struct("*").alias("t")))
+                ),
+                lambda x: x["t"],
+            ).alias("transactions")
+        )
+    )
+    summary_struct = F.struct(
+        *[F.col(c) for c in SUMMARY_COLS if c != "doc_id"]
+    ).alias("financial_summary")
+    return (
+        parsed["metadata"]
+        .join(txns, "doc_id", "left")
+        .join(parsed["summaries"].select("doc_id", summary_struct), "doc_id", "left")
+        .withColumn(
+            "total_transactions",
+            F.coalesce(F.size("transactions"), F.lit(0)).cast("long"),
+        )
+    )
+
+
+def run(docs: DataFrame) -> dict[str, DataFrame]:
+    """Full pipeline: returns every output table of the engine."""
+    val, valid, quarantine = split_valid(docs)
+    parsed = parse_all(valid)
+    return {
+        "validation": val,
+        "quarantine": quarantine,
+        **parsed,
+        "spans_out": spans_out(valid, parsed),
+        "results": results_envelope(parsed),
+    }

@@ -1,0 +1,98 @@
+"""Portable hashing primitives for dedup/fingerprinting, built ONLY from
+``md5`` + array higher-order functions so every operator has a bit-identical
+DuckDB oracle (both engines return the same lowercase-hex md5).
+
+MinHash here uses the hex STRING ordering of ``md5(seed || ':' || shingle)``
+as the permutation — taking the minimum over the 128-bit hash value is the
+standard min-wise independent permutation trick, and lexicographic order on
+fixed-width hex equals numeric order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace word tokens of lowercased text."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _min_hash(shingles: Column, seed: int) -> Column:
+    # NB: must be a 1-arg lambda — a 2-arg lambda (even via default args)
+    # makes PySpark pass the array INDEX as the second lambda variable.
+    prefix = f"{seed}:"
+    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """array<string> of ``num_hashes`` min-md5 values (the MinHash sketch)."""
+    return F.array(*[_min_hash(shingles, h) for h in range(num_hashes)])
+
+
+def lsh_band_keys(signature: Column, rows_per_band: int = 2) -> Column:
+    """array<string> of LSH band bucket keys: md5 of each contiguous
+    ``rows_per_band`` slice of the signature. Docs sharing ANY band key are
+    candidate near-duplicates (classic banding: P[match] = 1-(1-s^r)^b)."""
+    # number of bands is static given the fixed signature length used here
+    return F.transform(
+        F.sequence(F.lit(0), (F.size(signature) / F.lit(rows_per_band)).cast("int") - 1),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit("|"),
+                F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), ","),
+            )
+        ),
+    )
+
+
+def token_hash32(tok: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit integer (portable: DuckDB
+    ``CAST('0x'||substr(md5(t),1,8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over word tokens: per-bit majority vote of the tokens'
+    32-bit hashes. Pure higher-order expressions, zero UDF."""
+    vals = F.transform(toks, token_hash32)
+    # (v >> b) & 1 expressed arithmetically — F.shiftright needs a literal
+    # shift, but the shift is the lambda variable here; exact for v < 2^32
+    bit_of = lambda v, b: (  # noqa: E731
+        (v / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+    )
+    bit_scores = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.aggregate(
+            vals,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + bit_of(v, b) * 2 - 1,
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(bit_scores, (b + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

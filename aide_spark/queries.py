@@ -1,0 +1,1085 @@
+"""Driver-contract query battery: one entry per operator family of
+SURVEY.md §2 (+ the training-data-pipeline ops), each as a
+(PySpark DataFrame builder, equivalent DuckDB ANSI-SQL oracle) pair.
+
+Cross-engine exactness rules (the driver hashes values, so floats must be
+bit-identical):
+
+* money aggregates run in integer cents (``CAST(round(x*100) AS BIGINT)``) —
+  integer sums are order-independent, then a single final division by a
+  power of ten is the same IEEE op in both engines;
+* dates surface as formatted STRINGS (``dd/MM/yyyy`` ↔ ``%d/%m/%Y``), never
+  raw timestamps;
+* counts / row_numbers are cast to BIGINT on the Spark side (DuckDB windows
+  return BIGINT);
+* vector math (cosine) is a sequential left fold in both engines
+  (``F.aggregate`` ↔ ``list_reduce``) over double-cast elements, then
+  ``round(_, 6)``.
+
+Every Spark column is aliased to the same name as the SQL — the driver's
+compare sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# name -> (spark_fn, oracle_sql | None)
+QUERIES: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> Column:
+    return F.round(col * 100).cast("long")
+
+
+# ===========================================================================
+# Relational core: scan / filter / aggregate / join / sort / limit / set-op
+# ===========================================================================
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: the A1-A4 aggregate family over a filtered scan.
+    Filter + projection push to the parquet scan; partial agg map-side."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_p = _cents(F.col("l_discount"))  # integer percent
+    tax_p = _cents(F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(price_c).alias("sum_base_c"),
+            F.sum(price_c * (100 - disc_p)).alias("sum_disc_c"),
+            F.sum(price_c * (100 - disc_p) * (100 + tax_p)).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)
+               AS revenue_c,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q02(spark, sf_dir):
+    """J1-shape dimension joins: nation (25 rows) and customer (1.5k rows)
+    are broadcast — only the lineitem⋈orders join shuffles."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_c"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@q(
+    "q03_topk_orders",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    ORDER BY revenue_c DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    """O2 top-k: global sort + limit (Spark plans TakeOrderedAndProject —
+    no full sort materialization)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q04_filter_pushdown",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 25
+    """,
+)
+def q04(spark, sf_dir):
+    """V-family predicate gates: both filters reach the parquet scan
+    (PushedFilters) and only 3 columns are read (ReadSchema pruning)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("total_c"),
+        )
+    )
+
+
+@q(
+    "q05_set_union_distinct",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def q05(spark, sf_dir):
+    """§2.8 set ops: UNION (distinct) of two filtered scans."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .union(e.where(F.col("event_type") == "signup").select("user_id"))
+        .distinct()
+    )
+
+
+# ===========================================================================
+# Operator inventory V/P/M/A/O over documents + events
+# ===========================================================================
+
+
+@q(
+    "v6_content_classification",
+    """
+    SELECT CASE WHEN length(text) < 100 THEN 'invalid'
+                WHEN length(text) < 300 THEN 'text'
+                ELSE 'hybrid' END AS pdf_type,
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def v6(spark, sf_dir):
+    """V6 text/scanned/hybrid ladder as a pure when() classification."""
+    d = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.length("text") < 100, "invalid")
+        .when(F.length("text") < 300, "text")
+        .otherwise("hybrid")
+    )
+    return d.groupBy(cls.alias("pdf_type")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@q(
+    "p3_boilerplate_filter",
+    """
+    SELECT lang, count(*) AS kept
+    FROM documents
+    WHERE NOT (contains(text, 'merge') OR contains(text, 'slow') OR contains(text, 'batch'))
+    GROUP BY lang
+    """,
+)
+def p3(spark, sf_dir):
+    """P3 keyword skip-list (boilerplate strip) as a negated contains filter."""
+    d = _t(spark, sf_dir, "documents")
+    bad = (
+        F.col("text").contains("merge")
+        | F.col("text").contains("slow")
+        | F.col("text").contains("batch")
+    )
+    return d.where(~bad).groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@q(
+    "p4_start_detection",
+    """
+    SELECT doc_id, regexp_matches(text, '^the\\s+\\w+\\s+\\w+') AS is_start
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def p4(spark, sf_dir):
+    """P4 transaction-start regex detection (rlike boolean column)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 200).select(
+        "doc_id", F.col("text").rlike(r"^the\s+\w+\s+\w+").alias("is_start")
+    )
+
+
+@q(
+    "p2_tokenization",
+    """
+    SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+          FROM documents WHERE doc_id < 40) t
+    """,
+)
+def p2(spark, sf_dir):
+    """P2 line/token explode with positions (posexplode)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 40)
+        .select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@q(
+    "p5_segmentation_window",
+    """
+    SELECT user_id, seg, count(*) AS n_events,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM (
+      SELECT user_id, value,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM events) t
+    GROUP BY user_id, seg
+    """,
+)
+def p5(spark, sf_dir):
+    """P5 sessionization: running sum(is_start) over a per-key ordered window
+    then per-segment aggregation — the segmentation primitive of the parsers."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = F.sum((F.col("event_type") == "signup").cast("int")).over(w).alias("seg")
+    return (
+        e.select("user_id", "value", seg)
+        .groupBy("user_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_c"),
+        )
+    )
+
+
+@q(
+    "p6_regex_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def p6(spark, sf_dir):
+    """P6 amount extraction via regexp_extract + cast."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "p8_sign_conversion",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN -CAST(round(value*100) AS BIGINT)
+                         ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS net_c
+    FROM events GROUP BY user_id
+    """,
+)
+def p8(spark, sf_dir):
+    """P8 Dr/Cr sign conversion: when(type, -amt).otherwise(amt)."""
+    e = _t(spark, sf_dir, "events")
+    c = _cents(F.col("value"))
+    signed = F.when(F.col("event_type") == "purchase", -c).otherwise(c)
+    return e.groupBy("user_id").agg(F.sum(signed).alias("net_c"))
+
+
+@q(
+    "p10_lag_classification",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(round(value*100) AS BIGINT)
+                     - lag(CAST(round(value*100) AS BIGINT), 1, CAST(0 AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) < 0
+                THEN 'Debit' ELSE 'Credit' END AS txn_type
+    FROM events
+    """,
+)
+def p10(spark, sf_dir):
+    """P10 — the APGVB balance-mathematics classifier as lag() over an
+    ordered per-key window (change<0 ⇒ Debit, else Credit incl. zero)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = _cents(F.col("value"))
+    change = c - F.lag(c, 1, 0).over(w)
+    return e.select(
+        "event_id",
+        F.when(change < 0, F.lit("Debit")).otherwise(F.lit("Credit")).alias("txn_type"),
+    )
+
+
+@q(
+    "p11_serial_numbering",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s_no
+    FROM events
+    """,
+)
+def p11(spark, sf_dir):
+    """P11 serial numbering across pages = row_number per key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", F.row_number().over(w).cast("long").alias("s_no")
+    )
+
+
+@q(
+    "p12_date_validation",
+    """
+    SELECT event_id, strftime(ts, '%d-%m-%Y') AS ds,
+           (length(strftime(ts, '%d-%m-%Y')) = 10 AND
+            length(strftime(ts, '%d-%m-%Y')) - length(replace(strftime(ts, '%d-%m-%Y'), '-', '')) = 2)
+             AS is_valid
+    FROM events WHERE event_id < 500
+    """,
+)
+def p12(spark, sf_dir):
+    """P12 date-format validation: len==10 and count('-')==2, string-only."""
+    e = _t(spark, sf_dir, "events")
+    ds = F.date_format("ts", "dd-MM-yyyy")
+    valid = (F.length(ds) == 10) & (
+        F.length(ds) - F.length(F.regexp_replace(ds, "-", "")) == 2
+    )
+    return e.where(F.col("event_id") < 500).select(
+        "event_id", ds.alias("ds"), valid.alias("is_valid")
+    )
+
+
+@q(
+    "p14_comma_strip_cast",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT)) AS BIGINT) AS digit_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def p14(spark, sf_dir):
+    """P14 comma-strip numeric cast: regexp_replace + cast."""
+    e = _t(spark, sf_dir, "events")
+    v = F.regexp_replace("props", "[^0-9]", "").cast("long")
+    return e.groupBy("event_type").agg(F.sum(v).alias("digit_sum"))
+
+
+@q(
+    "m_metadata_probe",
+    """
+    SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_id,
+           count(*) AS n, min(lang) AS min_lang, max(lang) AS max_lang
+    FROM documents GROUP BY 1
+    """,
+)
+def m_probe(spark, sf_dir):
+    """M1-M12 metadata regex probes + A6 string min/max in one shape."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.regexp_extract("source", r"src(\d+)", 1).cast("long")
+    return d.groupBy(sid.alias("src_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lang").alias("min_lang"),
+        F.max("lang").alias("max_lang"),
+    )
+
+
+@q(
+    "a5_positional_first_last",
+    """
+    SELECT DISTINCT user_id,
+           first_value(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS closing_c,
+           last_value(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS opening_c
+    FROM events
+    """,
+)
+def a5(spark, sf_dir):
+    """A5 positional opening/closing: first/last over the full-frame window
+    (the Union/Canara inverted opening-closing quirk shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    c = _cents(F.col("value"))
+    return e.select(
+        "user_id",
+        F.first(c).over(w).alias("closing_c"),
+        F.last(c).over(w).alias("opening_c"),
+    ).distinct()
+
+
+@q(
+    "a6_string_date_minmax",
+    """
+    SELECT event_type, min(strftime(ts, '%d/%m/%Y')) AS from_date,
+           max(strftime(ts, '%d/%m/%Y')) AS to_date
+    FROM events GROUP BY event_type
+    """,
+)
+def a6(spark, sf_dir):
+    """A6 — the lexicographic STRING date min/max quirk (never to_date)."""
+    e = _t(spark, sf_dir, "events")
+    ds = F.date_format("ts", "dd/MM/yyyy")
+    return e.groupBy("event_type").agg(
+        F.min(ds).alias("from_date"), F.max(ds).alias("to_date")
+    )
+
+
+@q(
+    "a2_conditional_sums",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type IN ('purchase','error')
+                         THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS debits_c,
+           CAST(sum(CASE WHEN event_type NOT IN ('purchase','error')
+                         THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS credits_c
+    FROM events GROUP BY user_id
+    """,
+)
+def a2(spark, sf_dir):
+    """A2 conditional debit/credit totals."""
+    e = _t(spark, sf_dir, "events")
+    c = _cents(F.col("value"))
+    is_dr = F.col("event_type").isin("purchase", "error")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(is_dr, c)).alias("debits_c"),
+        F.sum(F.when(~is_dr, c)).alias("credits_c"),
+    )
+
+
+@q(
+    "o1_stable_sort_limit",
+    """
+    SELECT event_id FROM events
+    ORDER BY date_trunc('day', ts), event_id LIMIT 100
+    """,
+)
+def o1(spark, sf_dir):
+    """O1 date-sorted stable ordering (secondary key = input order)."""
+    e = _t(spark, sf_dir, "events")
+    return e.orderBy(F.date_trunc("day", F.col("ts")), "event_id").select(
+        "event_id"
+    ).limit(100)
+
+
+@q(
+    "scalar_date_convert",
+    """
+    SELECT event_id,
+           concat(lpad(string_split(strftime(ts, '%d-%m-%Y'), '-')[1], 2, '0'), '/',
+                  lpad(string_split(strftime(ts, '%d-%m-%Y'), '-')[2], 2, '0'), '/',
+                  string_split(strftime(ts, '%d-%m-%Y'), '-')[3]) AS converted
+    FROM events WHERE event_id < 300
+    """,
+)
+def scalar_date(spark, sf_dir):
+    """§2.9 date conversion by string surgery with zfill (transaction_
+    formatter.py:11-55 — deliberately NOT to_date)."""
+    e = _t(spark, sf_dir, "events")
+    ds = F.date_format("ts", "dd-MM-yyyy")
+    p = F.split(ds, "-")
+    conv = F.concat(
+        F.lpad(F.element_at(p, 1), 2, "0"), F.lit("/"),
+        F.lpad(F.element_at(p, 2), 2, "0"), F.lit("/"),
+        F.element_at(p, 3),
+    )
+    return e.where(F.col("event_id") < 300).select("event_id", conv.alias("converted"))
+
+
+@q(
+    "scalar_clean_amount",
+    """
+    SELECT event_id,
+           CAST(round(CAST(regexp_replace(concat(CAST(value AS VARCHAR), ' (Dr)'),
+                           '\\s*\\(?\\s*(DR|dr|Dr|De|DE|de|CR|cr|Cr)\\s*\\)?\\s*', '', 'g')
+                      AS DOUBLE) * 100) AS BIGINT) AS cleaned_c
+    FROM events WHERE event_id < 300
+    """,
+)
+def scalar_clean(spark, sf_dir):
+    """§2.9 clean_amount: strip (Dr)/(Cr)/(De) decorations then cast
+    (transaction_formatter.py:58-83)."""
+    e = _t(spark, sf_dir, "events")
+    s = F.concat(F.col("value").cast("string"), F.lit(" (Dr)"))
+    cleaned = F.regexp_replace(
+        s, r"\s*\(?\s*(DR|dr|Dr|De|DE|de|CR|cr|Cr)\s*\)?\s*", ""
+    ).cast("double")
+    return e.where(F.col("event_id") < 300).select(
+        "event_id", _cents(cleaned).alias("cleaned_c")
+    )
+
+
+@q(
+    "j1_dispatch_by_dimension",
+    """
+    SELECT CASE WHEN r.r_name IN ('AMERICA','EUROPE') THEN 'western_parser'
+                WHEN r.r_name = 'ASIA' THEN 'asia_parser'
+                ELSE 'default_parser' END AS extractor,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_c
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def j1(spark, sf_dir):
+    """J1 bank_id→extractor dispatch: broadcast the tiny dimension chain and
+    dispatch with when/otherwise (no reflection, SURVEY.md §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    label = (
+        F.when(F.col("r_name").isin("AMERICA", "EUROPE"), "western_parser")
+        .when(F.col("r_name") == "ASIA", "asia_parser")
+        .otherwise("default_parser")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(label.alias("extractor"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_c"),
+        )
+    )
+
+
+@q(
+    "j2_literal_map_lookup",
+    """
+    SELECT coalesce(CASE n_name WHEN 'INDIA' THEN 'IN' WHEN 'CHINA' THEN 'CN'
+                                WHEN 'JAPAN' THEN 'JP' END, 'XX') AS code,
+           count(*) AS n
+    FROM nation GROUP BY 1
+    """,
+)
+def j2(spark, sf_dir):
+    """J2 legacy name→id literal map with default (create_map + coalesce)."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("INDIA"), F.lit("IN"), F.lit("CHINA"), F.lit("CN"),
+        F.lit("JAPAN"), F.lit("JP"),
+    )
+    return n.groupBy(
+        F.coalesce(m[F.col("n_name")], F.lit("XX")).alias("code")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# Training-data pipeline operators: dedup / similarity / text analysis
+# (first-class at 100 TB scale — each with a DuckDB oracle where exact)
+# ===========================================================================
+
+from .functions import hashing as H  # noqa: E402
+from .functions import vectors as V  # noqa: E402
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 2), ' ')
+             )) AS sh
+      FROM documents WHERE doc_id < 300
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           min(doc_id) AS keeper_doc
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content. At scale this is one shuffle on
+    the hash; the keeper is the min doc_id (deterministic survivor)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc")
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH docs AS ({_SHINGLE_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               h -> list_min(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
+      FROM docs),
+    bands AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4),
+               b -> md5(CAST(b AS VARCHAR) || '|' ||
+                        array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ',')))) AS band
+      FROM sigs)
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 8-hash min signature →
+    4 bands of 2 → bucket self-join. The only shuffle is the band-key join;
+    signatures are computed entirely with array expressions (no UDF)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sig = H.minhash_signature(H.word_shingles(F.col("text"), 3), 8)
+    bands = d.select(
+        "doc_id", F.explode(H.lsh_band_keys(sig, 2)).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS ({_SHINGLE_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2,
+           round(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+    FROM common JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: shingle-explode self-join → common counts →
+    |A∩B|/|A∪B| ≥ 0.2. The shingle join is the scalable path (never the
+    O(n²) doc cross join)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = d.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(s1, "d1").join(s2, "d2")
+        .where(jac >= 0.2)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@q(
+    "dedup_simhash",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(range(0, 32), b ->
+             CASE WHEN list_sum(list_transform(
+                    list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)),
+                    v -> ((v >> b) & 1) * 2 - 1)) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END),
+             (x, y) -> x + y) AS simhash
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint: per-bit majority vote over token hashes — near-
+    dups differ in few bits (Hamming ball join at scale)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select("doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash"))
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized document fingerprint (lower + collapse whitespace + md5)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return d.select("doc_id", H.normalized_fingerprint(F.col("text")).alias("fp"))
+
+
+_MARKERS = {"en": " the ", "de": " data ", "es": " query "}
+
+_LANG_SCORE_SQL = " , ".join(
+    f"CAST((length(text) - length(replace(text, '{w}', ''))) / {len(w)} AS BIGINT) AS s_{lang}"
+    for lang, w in _MARKERS.items()
+)
+
+
+@q(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted
+    FROM (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents WHERE doc_id < 300) t
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-token frequency argmax (the n-gram
+    heuristic shape; markers are corpus-specific here)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    scores = {
+        lang: ((F.length("text") - F.length(F.regexp_replace("text", w, ""))) / len(w)).cast("long")
+        for lang, w in _MARKERS.items()
+    }
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en")
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("predicted"))
+
+
+@q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, '\\s+')), 6)
+             AS avg_token_len,
+           length(text) >= 200 AS is_quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, length gate."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", r"\s+"))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 6).alias("avg_token_len"),
+        (F.length("text") >= 200).alias("is_quality"),
+    )
+
+
+@q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS alpha_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace split + regex token extraction (BPE-ish
+    alpha runs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias("alpha_tokens"),
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {V.duck_cosine('embedding', 'q')} AS sim
+    FROM embeddings, qv WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query
+    vector, fold the dot product JVM-side, TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", V.cosine(F.col("embedding"), F.col("q")).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@q(
+    "ann_lsh_buckets",
+    """
+    SELECT vec_id,
+           list_reduce(list_transform(range(0, 8), b ->
+             CASE WHEN list_reduce(list_transform(
+                         list_zip(embedding, range(1, len(embedding) + 1)),
+                         p -> CAST(p[1] AS DOUBLE) *
+                              (CAST(CAST(concat('0x', substr(md5(CAST(b AS VARCHAR) || ',' || CAST(p[2] AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 2147483648.0 - 1.0)),
+                       (x, y) -> x + y) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END),
+             (x, y) -> x + y) AS bucket
+    FROM embeddings WHERE vec_id < 300
+    """,
+)
+def ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH buckets (the ANN scale path): 8 sign bits from
+    md5-derived pseudo-random planes; at scale, search = bucket equi-join
+    instead of a cross join."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    v = F.col("embedding")
+
+    def plane(b, j):  # deterministic pseudo-random plane component in [-1, 1)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(b.cast("string"), F.lit(","), j.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h.cast("double") / F.lit(2147483648.0) - 1.0
+
+    def dot_plane(b):
+        prods = F.zip_with(
+            v,
+            F.sequence(F.lit(1), F.size(v)),
+            lambda x, j: x.cast("double") * plane(b, j),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(dot_plane(b) > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           {V.duck_cosine('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 120 AND b.vec_id < 120
+      AND {V.duck_cosine('a.embedding', 'b.embedding')} > 0.15
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a bounded window (the verify
+    stage after LSH candidate generation at scale)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    sim = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .where(sim > 0.15)
+        .select("v1", "v2", sim.alias("sim"))
+    )
+
+
+@q(
+    "streaming_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window(spark, sf_dir):
+    """§2.11 event-time tumbling window (batch-equivalent of the Structured
+    Streaming windowed agg in aide_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("value_c"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type", "n", "value_c",
+        )
+    )
+
+
+# ===========================================================================
+# Flagship end-to-end: synthesize Union-grammar statement lines from orders,
+# parse them back with the extraction expressions, aggregate the summary —
+# scan → regex parse → window → quirky positional aggregates, ALL with a
+# DuckDB oracle. (The spans-table pipeline itself is reference-verified in
+# tests/test_parity.py; this exercises the same operator chain on testdata.)
+# ===========================================================================
+
+_E2E_LINES_SQL = """
+      SELECT o_custkey AS account,
+             concat_ws(' ',
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               strftime(o_orderdate, '%d/%m/%Y'),
+               concat('TXN', CAST(o_orderkey AS VARCHAR)),
+               concat('PRIORITY ', regexp_replace(o_orderpriority, '[^A-Z]', '', 'g')),
+               concat(printf('%.2f', o_totalprice), ' (',
+                      CASE WHEN o_orderstatus = 'F' THEN 'Dr' ELSE 'Cr' END, ')'),
+               concat(printf('%.2f', o_totalprice + CAST(o_orderkey % 1000 AS DOUBLE)), ' (Cr)')
+             ) AS line,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS s_no
+      FROM orders
+"""
+
+
+@q(
+    "e2e_union_extract",
+    f"""
+    WITH lines AS ({_E2E_LINES_SQL}),
+    parsed AS (
+      SELECT account, s_no,
+             regexp_extract(line, '^(\\d+)\\s+(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})\\s+([A-Z0-9]+)', 2) AS dt,
+             CAST(round(CAST(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)[1] AS DOUBLE) * 100) AS BIGINT)
+               * (CASE WHEN regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 2)[1] = 'Dr' THEN -1 ELSE 1 END)
+               AS amt_c,
+             CAST(round(CAST(list_last(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)) AS DOUBLE) * 100) AS BIGINT)
+               AS bal_c
+      FROM lines)
+    SELECT account,
+           arg_max(bal_c, s_no) AS opening_c,
+           arg_min(bal_c, s_no) AS closing_c,
+           CAST(coalesce(sum(CASE WHEN amt_c < 0 THEN amt_c END), 0) AS BIGINT) AS debits_c,
+           CAST(coalesce(sum(CASE WHEN amt_c > 0 THEN amt_c END), 0) AS BIGINT) AS credits_c,
+           count(*) AS n_txn,
+           min(dt) AS from_date, max(dt) AS to_date
+    FROM parsed GROUP BY account
+    """,
+)
+def e2e_union_extract(spark, sf_dir):
+    """Flagship: construct Union-grammar lines from orders, run the parse
+    expressions (P4/P6/P8), aggregate the quirky positional summary (A2/A5/A6
+    — opening = LAST listed, closing = FIRST, string date min/max)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s_no = F.row_number().over(w).cast("long")
+    line = F.concat_ws(
+        " ",
+        s_no.cast("string"),
+        F.date_format("o_orderdate", "dd/MM/yyyy"),
+        F.concat(F.lit("TXN"), F.col("o_orderkey").cast("string")),
+        F.concat(F.lit("PRIORITY "), F.regexp_replace("o_orderpriority", "[^A-Z]", "")),
+        F.concat(
+            F.format_string("%.2f", F.col("o_totalprice")),
+            F.lit(" ("),
+            F.when(F.col("o_orderstatus") == "F", "Dr").otherwise("Cr"),
+            F.lit(")"),
+        ),
+        F.concat(
+            F.format_string(
+                "%.2f", F.col("o_totalprice") + (F.col("o_orderkey") % 1000).cast("double")
+            ),
+            F.lit(" (Cr)"),
+        ),
+    )
+    lines = o.select(
+        F.col("o_custkey").alias("account"), line.alias("line"), s_no.alias("s_no")
+    )
+
+    amt_re = r"(\d+\.?\d*)\s*\((Dr|Cr)\)"
+    vals = F.regexp_extract_all("line", F.lit(amt_re), 1)
+    typs = F.regexp_extract_all("line", F.lit(amt_re), 2)
+    parsed = lines.select(
+        "account",
+        "s_no",
+        F.regexp_extract("line", r"^(\d+)\s+(\d{1,2}/\d{1,2}/\d{4})\s+([A-Z0-9]+)", 2).alias("dt"),
+        (
+            F.round(F.element_at(vals, 1).cast("double") * 100).cast("long")
+            * F.when(F.element_at(typs, 1) == "Dr", -1).otherwise(1)
+        ).alias("amt_c"),
+        F.round(F.element_at(vals, -1).cast("double") * 100).cast("long").alias("bal_c"),
+    )
+    return parsed.groupBy("account").agg(
+        F.max_by("bal_c", "s_no").alias("opening_c"),
+        F.min_by("bal_c", "s_no").alias("closing_c"),
+        F.coalesce(F.sum(F.when(F.col("amt_c") < 0, F.col("amt_c"))), F.lit(0)).cast("long").alias("debits_c"),
+        F.coalesce(F.sum(F.when(F.col("amt_c") > 0, F.col("amt_c"))), F.lit(0)).cast("long").alias("credits_c"),
+        F.count(F.lit(1)).alias("n_txn"),
+        F.min("dt").alias("from_date"),
+        F.max("dt").alias("to_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle — non-relational surface)
+# ---------------------------------------------------------------------------
+
+
+@q("multimodal_decode_stub", None)
+def multimodal_stub(spark, sf_dir):
+    """Multimodal plumbing: documents as opaque binary + Arrow-batched
+    decode/feature-extract via mapInPandas (decode itself is a deterministic
+    stand-in — media libs are not in this environment; the Spark-side schema,
+    batching and partitioning are real). See operators/multimodal.py."""
+    from .operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return decode_features(
+        d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )

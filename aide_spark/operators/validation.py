@@ -34,9 +34,11 @@ MAX_FILE_SIZE_MB = 25    # pdf_validator.py:30
 MIN_TEXT_LENGTH = 100    # pdf_validator.py:31
 
 
-def validate(docs: DataFrame) -> DataFrame:
-    """documents → VALIDATION rows (one per doc, all columns computed in a
-    single whole-stage-codegen projection)."""
+def validation_struct():
+    """The whole V1-V10 ladder as ONE struct-valued expression over the
+    documents columns — callers attach it with ``withColumn`` and filter on
+    ``is_valid`` directly, so the valid/quarantine split is a narrow filter,
+    never a join back to the docs table."""
     spans = F.col("spans")
     pages = pages_col(spans)
     page_count = F.when(F.size(spans) <= 0, F.lit(0)).otherwise(F.size(pages))
@@ -83,8 +85,7 @@ def validate(docs: DataFrame) -> DataFrame:
         _res(True, "text", "VALID", 1.0)
     )
 
-    return docs.select(
-        "doc_id",
+    return F.struct(
         result.getField("is_valid").alias("is_valid"),
         result.getField("pdf_type").alias("pdf_type"),
         result.getField("error_code").alias("error_code"),
@@ -92,6 +93,12 @@ def validate(docs: DataFrame) -> DataFrame:
         page_count.cast("int").alias("page_count"),
         text_length.cast("int").alias("text_length"),
     )
+
+
+def validate(docs: DataFrame) -> DataFrame:
+    """documents → VALIDATION rows (one per doc, one codegen projection)."""
+    v = validation_struct()
+    return docs.select("doc_id", v.alias("_v")).select("doc_id", "_v.*")
 
 
 def _res(is_valid: bool, pdf_type: str, error_code: str, confidence: float):

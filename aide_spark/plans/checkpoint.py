@@ -1,0 +1,141 @@
+"""Checkpointed, idempotently-resumable extraction runs (SURVEY.md §2.11 /
+§4.2 — the Spark restatement of the reference's job state machine +
+SQS redelivery: processor/handler.py:456-486, sqs/main.tf:23-44).
+
+Iceberg is the intended production catalog; this environment has no Iceberg
+jars, so :class:`SnapshotStore` provides the same commit semantics on plain
+parquet — the documented fallback (SURVEY.md §7):
+
+* every table write lands in ``<base>/<table>/batch=<batch_id>/`` (staged,
+  invisible);
+* a run COMMITS by atomically renaming one JSON commit file into
+  ``<base>/_commits/`` that covers ALL tables of the batch — a crash at any
+  earlier point leaves only orphaned data directories that readers never see;
+* readers union only committed batch directories (snapshot isolation);
+* resume = anti-join the input against the committed lineage — the
+  "resume from last committed snapshot" of the north rule. A batch that
+  crashed mid-run is simply re-extracted; because its output was never
+  committed, reprocessing is exactly-once effective.
+
+Per-partition lineage + metrics: the lineage table has one row per document
+(doc_id, batch_id, status, error_code, n_spans); the metrics table has one
+row per Spark partition per batch (partition_id, docs, spans) — the
+north-rule observability surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+
+TABLES = ("spans", "lineage", "metrics", "quarantine")
+
+
+class SnapshotStore:
+    def __init__(self, base: str):
+        self.base = base
+        self.commits_dir = os.path.join(base, "_commits")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    # -- commit protocol ----------------------------------------------------
+
+    def committed(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.commits_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.commits_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def commit(self, batch_id: str, stats: dict) -> None:
+        """Atomic: write-to-temp + rename. The rename IS the transaction."""
+        payload = {"batch_id": batch_id, "ts": time.time(), **stats}
+        tmp = os.path.join(self.commits_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.rename(tmp, os.path.join(self.commits_dir, f"{batch_id}.json"))
+
+    # -- staged writes / snapshot reads --------------------------------------
+
+    def _batch_path(self, table: str, batch_id: str) -> str:
+        return os.path.join(self.base, table, f"batch={batch_id}")
+
+    def stage(self, df: DataFrame, table: str, batch_id: str) -> str:
+        path = self._batch_path(table, batch_id)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        paths = [
+            self._batch_path(table, c["batch_id"])
+            for c in self.committed()
+            if os.path.exists(self._batch_path(table, c["batch_id"]))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+
+def run_with_resume(
+    spark: SparkSession, docs: DataFrame, store: SnapshotStore, batch_id: str | None = None
+) -> dict:
+    """Extract everything in ``docs`` not already committed; commit atomically.
+
+    Returns {"batch_id", "docs_processed", "spans", "skipped_committed"}.
+    Safe to re-invoke after any crash and safe to invoke with overlapping
+    inputs — committed doc_ids are skipped via a broadcast-friendly anti-join.
+    """
+    batch_id = batch_id or time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:6]
+
+    done = store.read(spark, "lineage")
+    n_done = 0
+    if done is not None:
+        committed_ids = done.select("doc_id").distinct()
+        n_done = docs.join(committed_ids, "doc_id", "left_semi").count()
+        pending = docs.join(committed_ids, "doc_id", "left_anti")
+    else:
+        pending = docs
+
+    out = pipeline.run(pending, persist=True)
+    spans_path = store.stage(out["spans_out"], "spans", batch_id)
+    store.stage(out["quarantine"], "quarantine", batch_id)
+
+    # lineage: one row per input doc — extracted or quarantined
+    lineage = out["validation"].select(
+        "doc_id",
+        F.lit(batch_id).alias("batch_id"),
+        F.when(F.col("is_valid"), F.lit("committed")).otherwise(F.lit("quarantined")).alias(
+            "status"
+        ),
+        "error_code",
+    )
+    store.stage(lineage, "lineage", batch_id)
+
+    # per-partition metrics from the staged spans (read-back is metadata-cheap)
+    staged = spark.read.parquet(spans_path)
+    metrics = (
+        staged.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("spans"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    store.stage(metrics, "metrics", batch_id)
+
+    n_docs = pending.count()
+    n_spans = staged.count()
+    store.commit(batch_id, {"docs": n_docs, "spans": n_spans})
+    return {
+        "batch_id": batch_id,
+        "docs_processed": n_docs,
+        "spans": n_spans,
+        "skipped_committed": n_done,
+    }

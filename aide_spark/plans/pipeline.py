@@ -35,20 +35,26 @@ SUMMARY_COLS = [
 def split_valid(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (validation, valid_docs, quarantine). Quarantine is the DLQ analogue
     (SURVEY.md §2.11): invalid docs carry their error_code, never poison the
-    parse stage."""
-    val = validation.validate(docs)
-    valid = docs.join(val.where("is_valid").select("doc_id"), "doc_id", "left_semi")
-    quarantine = docs.join(
-        val.where(~F.col("is_valid")).select("doc_id", "error_code", "pdf_type"),
-        "doc_id",
-    ).select("doc_id", "bank_id", "error_code", "pdf_type")
+    parse stage. The split is a narrow FILTER on a computed validation struct
+    — never a join back to the (wide, spans-carrying) docs table."""
+    tagged = docs.withColumn("_v", validation.validation_struct())
+    val = tagged.select("doc_id", "_v.*")
+    valid = tagged.where(F.col("_v.is_valid")).drop("_v")
+    quarantine = tagged.where(~F.col("_v.is_valid")).select(
+        "doc_id", "bank_id",
+        F.col("_v.error_code").alias("error_code"),
+        F.col("_v.pdf_type").alias("pdf_type"),
+    )
     return val, valid, quarantine
 
 
-def parse_all(valid_docs: DataFrame) -> dict[str, DataFrame]:
+def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
     """Dispatch valid docs to the three bank parsers; union the results.
 
-    Returns {'transactions', 'metadata', 'summaries'} DataFrames.
+    Returns {'transactions', 'metadata', 'summaries'} DataFrames. With
+    ``persist=True`` the transactions + metadata unions are cached BEFORE the
+    summaries are derived from them, so the parser subtrees execute once even
+    though three downstream outputs consume them.
     """
     lines = line_table(valid_docs, carry=("bank_id",))
     u_lines = lines.where(F.col("bank_id") == "UNION").drop("bank_id")
@@ -59,21 +65,40 @@ def parse_all(valid_docs: DataFrame) -> dict[str, DataFrame]:
     c_docs = valid_docs.where(F.col("bank_id") == "CANARA")
     a_docs = valid_docs.where(F.col("bank_id") == "APGVB")
 
-    u_txn = union_parser.transactions(u_lines)
-    c_txn = canara_parser.transactions(c_lines)
-    a_txn = apgvb_parser.transactions(a_lines)
-    transactions = u_txn.unionByName(c_txn).unionByName(a_txn)
-
-    u_meta = union_parser.metadata(u_docs)
-    c_meta = canara_parser.metadata(c_docs)
-    a_meta = apgvb_parser.metadata(a_docs)
-    metadata = u_meta.unionByName(c_meta).unionByName(a_meta)
+    transactions = (
+        union_parser.transactions(u_lines).withColumn("bank_id", F.lit("UNION"))
+        .unionByName(
+            canara_parser.transactions(c_lines).withColumn("bank_id", F.lit("CANARA"))
+        )
+        .unionByName(
+            apgvb_parser.transactions(a_lines).withColumn("bank_id", F.lit("APGVB"))
+        )
+    )
+    metadata = (
+        union_parser.metadata(u_docs)
+        .unionByName(canara_parser.metadata(c_docs))
+        .unionByName(apgvb_parser.metadata(a_docs))
+    )
+    if persist:
+        transactions = transactions.persist()
+        metadata = metadata.persist()
 
     summaries = (
-        union_parser.summary(u_txn)
+        union_parser.summary(transactions.where(F.col("bank_id") == "UNION"))
         .select(*SUMMARY_COLS)
-        .unionByName(canara_parser.summary(c_txn).select(*SUMMARY_COLS))
-        .unionByName(apgvb_parser.summary(a_txn, a_meta).select(*SUMMARY_COLS))
+        .unionByName(
+            canara_parser.summary(
+                transactions.where(F.col("bank_id") == "CANARA")
+            ).select(*SUMMARY_COLS)
+        )
+        .unionByName(
+            apgvb_parser.summary(
+                transactions.where(F.col("bank_id") == "APGVB"),
+                metadata.where(
+                    F.col("metadata.bank_name") == apgvb_parser.BANK_NAME
+                ),
+            ).select(*SUMMARY_COLS)
+        )
     )
     return {"transactions": transactions, "metadata": metadata, "summaries": summaries}
 
@@ -185,10 +210,19 @@ def results_envelope(parsed: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def run(docs: DataFrame) -> dict[str, DataFrame]:
-    """Full pipeline: returns every output table of the engine."""
+def run(docs: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
+    """Full pipeline: returns every output table of the engine.
+
+    ``persist=True`` materializes the parsed transactions + metadata (the
+    REDUCED data — spans stripped down to parsed rows) before the multi-
+    output fan-out: spans_out, summaries and the results envelope all reuse
+    them, otherwise each output re-executes the parser subtrees (Spark does
+    not share common subplans across actions). This is the standard
+    write-or-cache point of a production multi-output job; at 100 TB the
+    equivalent is writing the transactions table and deriving the rest from
+    it."""
     val, valid, quarantine = split_valid(docs)
-    parsed = parse_all(valid)
+    parsed = parse_all(valid, persist=persist)
     return {
         "validation": val,
         "quarantine": quarantine,

@@ -680,17 +680,50 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle → 8-hash min signature →
-    4 bands of 2 → bucket self-join. The only shuffle is the band-key join;
-    signatures are computed entirely with array expressions (no UDF)."""
+    4 bands of 2 → bucket grouping → intra-bucket pair expansion.
+
+    Scale shape: signatures are computed ONCE per doc (a band self-join would
+    re-evaluate the whole signature expression on both join sides — Catalyst
+    collapses projections, so "materialize then join" doesn't help), then ONE
+    shuffle on the band key and pair expansion inside each bucket. Hot-bucket
+    quadratic blowup is the classic LSH failure mode — at production scale
+    cap bucket size or sub-split hot buckets; unbounded here (buckets are
+    tiny at test SF and the SQL oracle must see identical pairs)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    sig = H.minhash_signature(H.word_shingles(F.col("text"), 3), 8)
-    bands = d.select(
-        "doc_id", F.explode(H.lsh_band_keys(sig, 2)).alias("band")
+    # explode shingles, then MinHash as 8 min() AGGREGATES — the shingle
+    # expression is evaluated once per doc (an array-expression signature
+    # inlined into N band keys is re-evaluated N times after projection
+    # collapse, and the tokenize+shingle transform N*H times)
+    sh = d.select("doc_id", F.explode(H.word_shingles(F.col("text"), 3)).alias("s"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"h{h}")
+            for h in range(8)
+        ]
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), F.col(f"h{2*b}"), F.lit(","), F.col(f"h{2*b+1}")))
+            for b in range(4)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_keys).alias("band"))
+    buckets = bands.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
 

@@ -1,0 +1,77 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference's I/O surface (S1-S12) collapses onto table reads/writes:
+
+* S1 document fetch      → :func:`read_documents` (spans table scan) or
+                           :func:`read_raw_binary` (binaryFile variant)
+* S4 date-partitioned S3 keys (uploads/YYYY/MM/DD/…, upload/handler.py:383-391)
+                         → :func:`write_date_partitioned`
+* S5 JSON results sink   → :func:`write_results` + :func:`results_json_view`
+* S7 job-state table     → plans/checkpoint.py (SnapshotStore)
+* S9/S10 read-backs      → plain snapshot reads
+* S11 retention cleanup  → :func:`expire_before`
+* S12 DLQ re-drive       → quarantine table + checkpoint re-run
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DOCUMENTS
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the canonical interleaved-documents table. Explicit schema: never
+    infer on a 10^12-row table (footer sampling alone costs a cluster-hour)."""
+    return spark.read.schema(DOCUMENTS).parquet(path)
+
+
+def read_raw_binary(spark: SparkSession, path: str, pattern: str = "*.pdf") -> DataFrame:
+    """S1 raw-bytes variant: one row per file with content bytes. The
+    byte→span decode would be a mapInArrow UDF (SURVEY.md §2.12(a)); in the
+    spans-first architecture this path only feeds ingestion."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.col("path").alias("doc_id"),
+            F.col("content"),
+            (F.length("content") / (1024.0 * 1024.0)).alias("declared_size_mb"),
+        )
+    )
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ingest_ts") -> None:
+    """S4: the reference partitions uploads by date for 'efficient lifecycle
+    management and organization' (upload/handler.py:383-390) — same rationale,
+    expressed as a partitioned table write."""
+    (
+        df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        .write.mode("append")
+        .partitionBy("ingest_date")
+        .parquet(path)
+    )
+
+
+def write_results(results: DataFrame, path: str) -> None:
+    """S5: the per-doc results envelope, appended as parquet (Iceberg
+    ``writeTo(...).append()`` in production)."""
+    results.write.mode("append").parquet(path)
+
+
+def results_json_view(results: DataFrame) -> DataFrame:
+    """Per-doc JSON rendering of the envelope — the reference's
+    one-JSON-per-job S3 object (processor/handler.py:428-440) as a view."""
+    return results.select(
+        "doc_id", F.to_json(F.struct(*[c for c in results.columns])).alias("json")
+    )
+
+
+def expire_before(spark: SparkSession, path: str, cutoff_date: str) -> DataFrame:
+    """S11 retention: at scale this is a partition-pruned DELETE on the
+    Iceberg table (``DELETE WHERE ingest_date < cutoff``) + snapshot expiry;
+    the parquet fallback returns the retained view for compact-rewrite."""
+    df = spark.read.parquet(path)
+    return df.where(F.col("ingest_date") >= F.lit(cutoff_date))

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the extraction
+pipeline over a generated spans corpus, and prints ONE JSON line:
+
+    {"metric": "extract_docs_per_sec", "value": N, "unit": "docs/sec",
+     "queries": {...per-query seconds...}, "sf": ..., ...}
+
+The headline metric is extraction throughput (docs/sec), matching
+BASELINE.md's target. ``--cpus N`` overrides the core count (used by
+scripts/scaling_bench.py to measure N vs 4N scaling efficiency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+# python workers (mapInPandas in the corpus generator) need the package too
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_join_revenue_by_nation",
+    "q03_topk_orders",
+    "p5_segmentation_window",
+    "p10_lag_classification",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "e2e_union_extract",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"aide-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # coalescing OFF for the bench: at test SF the shuffles are a few MB
+        # and AQE would collapse them to 1-2 partitions, serializing the
+        # window stages and destroying the N-vs-4N scaling signal; at
+        # production data sizes AQE picks sensible counts on its own
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def drain(df) -> int:
+    """Fully execute a DataFrame without collecting rows to the driver."""
+    return df._jdf.queryExecution().executedPlan().executeCollect().length
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from aide_spark.generator import spark_corpus
+    from aide_spark.plans import pipeline
+    from aide_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once (outside timed region)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # extraction pipeline: corpus is staged to parquet UNTIMED (at 100 TB the
+    # input already exists); docs/sec times scan → validate → parse → emit
+    corpus_path = os.environ.get(
+        "SPARK_GRAFT_CORPUS", f"/tmp/aide_spark_bench_corpus_{n_docs}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        # partitionBy(bank_id): each parser branch's scan partition-prunes to
+        # its own share, so the three-branch dispatch reads the input once in
+        # total — the layout the production table would use
+        spark_corpus(spark, n_docs, partitions=max(cpus, 8)).write.mode(
+            "overwrite"
+        ).partitionBy("bank_id").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    out = pipeline.run(docs, persist=True)
+    n_spans = out["spans_out"].count()
+    extract_sec = round(time.perf_counter() - t0, 3)
+    timings["extract_pipeline"] = extract_sec
+    docs_per_sec = round(n_docs / extract_sec, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extract_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+                "bench_docs": n_docs,
+                "spans_emitted": n_spans,
+                "total_query_sec": round(sum(timings.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

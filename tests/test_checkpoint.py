@@ -1,0 +1,71 @@
+"""Idempotent resume semantics (north rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aide_spark.generator import local_corpus_df
+from aide_spark.plans import pipeline
+from aide_spark.plans.checkpoint import SnapshotStore, run_with_resume
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "ckpt"))
+
+
+def test_incremental_resume_matches_single_shot(spark, store):
+    docs = local_corpus_df(spark, 36)
+    half = docs.where("doc_id RLIKE '00000[0-9]$' OR doc_id RLIKE '0001[0-7]$'")
+
+    r1 = run_with_resume(spark, half, store, batch_id="b1")
+    assert r1["skipped_committed"] == 0
+
+    r2 = run_with_resume(spark, docs, store, batch_id="b2")
+    assert r2["skipped_committed"] == half.count()
+    assert r2["docs_processed"] == 36 - half.count()
+
+    resumed = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in store.read(spark, "spans").collect()
+    }
+    single = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in pipeline.run(docs)["spans_out"].collect()
+    }
+    assert resumed == single
+
+
+def test_rerun_is_noop(spark, store):
+    docs = local_corpus_df(spark, 12)
+    run_with_resume(spark, docs, store, batch_id="b1")
+    r = run_with_resume(spark, docs, store, batch_id="b2")
+    assert r["docs_processed"] == 0 and r["spans"] == 0
+
+
+def test_uncommitted_stage_is_invisible_and_reprocessed(spark, store):
+    """Crash simulation: staged-but-uncommitted data must not be readable,
+    and its docs must be reprocessed on the next run."""
+    docs = local_corpus_df(spark, 12)
+    out = pipeline.run(docs)
+    store.stage(out["spans_out"], "spans", "crashed")  # no commit
+    assert store.read(spark, "spans") is None
+
+    r = run_with_resume(spark, docs, store, batch_id="b1")
+    assert r["docs_processed"] == 12
+    assert store.read(spark, "spans").count() == out["spans_out"].count()
+
+
+def test_lineage_and_metrics_written(spark, store):
+    docs = local_corpus_df(spark, 24)
+    run_with_resume(spark, docs, store, batch_id="b1")
+    lineage = store.read(spark, "lineage")
+    assert lineage.count() == 24
+    statuses = {r.status for r in lineage.collect()}
+    assert statuses == {"committed", "quarantined"}
+    metrics = store.read(spark, "metrics")
+    rows = metrics.collect()
+    assert sum(r.spans for r in rows) == store.read(spark, "spans").count()
+    quarantine = store.read(spark, "quarantine")
+    assert quarantine.count() == lineage.where("status = 'quarantined'").count()

@@ -1,0 +1,118 @@
+"""Structured Streaming surface: file-source micro-batch extraction through
+the SAME batch pipeline, watermarked windows, and the stateful
+balance-classifier — streaming results must equal their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+
+from aide_spark.generator import local_corpus_df
+from aide_spark.plans import pipeline
+from aide_spark.plans.checkpoint import SnapshotStore
+from aide_spark.streaming.stream import (
+    classify_balance_stream,
+    extract_stream,
+    stream_documents,
+    windowed_event_counts,
+)
+
+
+def test_streaming_extraction_equals_batch(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    # write with multiple files so maxFilesPerTrigger yields >1 micro-batch
+    local_corpus_df(spark, 18).repartition(12).write.parquet(docs_path)
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    stream = stream_documents(spark, docs_path)
+    q = extract_stream(stream, store, str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+
+    streamed = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in store.read(spark, "spans").collect()
+    }
+    batch = {
+        (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+        for r in pipeline.run(local_corpus_df(spark, 18))["spans_out"].collect()
+    }
+    assert streamed == batch
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    events_path = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(events_path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(events_path)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (str(r.window_start), r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (str(r.ws), r.event_type, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_balance_classifier_matches_lag(spark, tmp_path):
+    """The applyInPandasWithState operator must classify exactly like the
+    batch lag() window (the P10 equivalence)."""
+    from pyspark.sql import Window, functions as F
+
+    txns = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("event_id < 400")
+        .select(
+            F.col("user_id").alias("account"),
+            F.col("event_id"),
+            F.round(F.col("value"), 2).alias("balance"),
+        )
+    )
+    path = str(tmp_path / "txns")
+    txns.write.parquet(path)
+
+    stream = spark.readStream.schema(txns.schema).parquet(path)
+    classified = classify_balance_stream(stream)
+    q = (
+        classified.writeStream.format("memory")
+        .queryName("classified")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.account, r.event_id): r.txn_type
+        for r in spark.sql("SELECT * FROM classified").collect()
+    }
+
+    w = Window.partitionBy("account").orderBy("event_id")
+    change = F.col("balance") - F.lag("balance", 1, 0.0).over(w)
+    want = {
+        (r.account, r.event_id): r.txn_type
+        for r in txns.select(
+            "account", "event_id",
+            F.when(change < 0, "Debit").otherwise("Credit").alias("txn_type"),
+        ).collect()
+    }
+    assert got == want

@@ -25,6 +25,7 @@ from typing import Iterator
 from .schemas import DOCUMENTS, PAGE_BREAK
 
 CORRECT_PASSWORD = "testpassword123"  # tests/README.md:40
+GENERATOR_VERSION = 2  # bump on any grammar change (keys staged bench corpora)
 
 _MERCHANTS = [
     "AMAZON", "FLIPKART", "SWIGGY", "ZOMATO", "IRCTC", "BIGBAZAAR",
@@ -107,10 +108,18 @@ def _union_doc(rng: random.Random, doc_id: str, hybrid: bool = False) -> list[tu
             date = f"{day:02d}/{month:02d}/2024"
         head = f"{n} {date} {txnid} {remarks}"
         tail = f"{amt:.2f} ({drcr}) {balance:.2f} (Cr)"
-        if rng.random() < 0.3:
+        r = rng.random()
+        if r < 0.25:
             # wrapped record: amounts on the following line
             # (exercises _combine_transaction_lines, union:282-300)
             b.text(head)
+            b.text(tail)
+        elif r < 0.30:
+            # corrupted wrap: a digits+date footer line interrupts the
+            # combine (matches the loose stop regex union:294 but not the
+            # start regex union:265) — the whole record is discarded
+            b.text(head)
+            b.text(f"{n} {date}")
             b.text(tail)
         else:
             b.text(f"{head} {tail}")

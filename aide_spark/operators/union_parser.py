@@ -51,8 +51,17 @@ def transactions(lines: DataFrame) -> DataFrame:
     cum_empty = F.coalesce(
         F.sum((F.col("line") == "").cast("int")).over(before), F.lit(0)
     )
+    # the combine-stop regex (NEXT_RE, union:294) is LOOSER than the start
+    # regex: a digits+date line without a transaction id stops the combine
+    # yet starts no segment — it and everything after it stay excluded
+    is_stopper = ~F.col("line").rlike(START_RE) & F.col("line").rlike(NEXT_RE)
+    cum_stop = F.coalesce(F.sum(is_stopper.cast("int")).over(before), F.lit(0))
     include = F.col("line").rlike(START_RE) | (
-        (F.col("line") != "") & (cum_amt < 2) & (cum_empty == 0)
+        (F.col("line") != "")
+        & ~is_stopper
+        & (cum_amt < 2)
+        & (cum_empty == 0)
+        & (cum_stop == 0)
     )
     seg_rows = df.withColumn(
         "part", F.when(include, F.struct("off", "line"))  # nulls dropped by collect_list

@@ -84,7 +84,11 @@ class SnapshotStore:
 
 
 def run_with_resume(
-    spark: SparkSession, docs: DataFrame, store: SnapshotStore, batch_id: str | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    store: SnapshotStore,
+    batch_id: str | None = None,
+    skip_statuses: tuple[str, ...] = ("committed", "quarantined"),
 ) -> dict:
     """Extract everything in ``docs`` not already committed; commit atomically.
 
@@ -97,7 +101,9 @@ def run_with_resume(
     done = store.read(spark, "lineage")
     n_done = 0
     if done is not None:
-        committed_ids = done.select("doc_id").distinct()
+        committed_ids = (
+            done.where(F.col("status").isin(*skip_statuses)).select("doc_id").distinct()
+        )
         n_done = docs.join(committed_ids, "doc_id", "left_semi").count()
         pending = docs.join(committed_ids, "doc_id", "left_anti")
     else:
@@ -139,3 +145,48 @@ def run_with_resume(
         "spans": n_spans,
         "skipped_committed": n_done,
     }
+
+
+def list_statements(
+    spark: SparkSession,
+    store: SnapshotStore,
+    statuses: tuple[str, ...] = ("committed", "quarantined"),
+    limit: int = 50,
+) -> DataFrame | None:
+    """S9 — the statements-list read path (api/handler.py:158-273): lineage
+    filtered by status, newest batch first, paginated by limit."""
+    lineage = store.read(spark, "lineage")
+    if lineage is None:
+        return None
+    return (
+        lineage.where(F.col("status").isin(*statuses))
+        .orderBy(F.desc("batch_id"), "doc_id")
+        .limit(limit)
+    )
+
+
+def redrive_quarantined(
+    spark: SparkSession, docs: DataFrame, store: SnapshotStore, max_retries: int = 3
+) -> DataFrame:
+    """S12 — DLQ re-drive (dlq_processor/handler.py:119-150, retry ≤ 3):
+    re-submit quarantined docs through the pipeline until they either pass
+    (new committed batch) or exhaust retries and are flagged critical.
+
+    Returns the critical-docs DataFrame (doc_id, error_code, retries).
+    Deterministically-invalid docs re-quarantine each round — the mechanism
+    exists for transiently-failing inputs (the reference's actual DLQ case).
+    """
+    quarantine = store.read(spark, "quarantine")
+    if quarantine is None:
+        return None
+    attempts = quarantine.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("retries"), F.max("error_code").alias("error_code")
+    )
+    retryable = attempts.where(F.col("retries") < max_retries).select("doc_id")
+    if retryable.limit(1).count() > 0:
+        pending = docs.join(retryable, "doc_id", "left_semi")
+        # bypass the quarantined-status skip so the docs actually re-run
+        run_with_resume(spark, pending, store, skip_statuses=("committed",))
+    return attempts.where(F.col("retries") >= max_retries).select(
+        "doc_id", "error_code", "retries"
+    )

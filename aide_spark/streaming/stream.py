@@ -65,7 +65,9 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation: 1-hour windows, events later
     than 10 minutes past the watermark are dropped (late-data policy)."""
     return (
-        events_stream.withWatermark("ts", "10 minutes")
+        # watermarks require TIMESTAMP (tz); parquet often carries NTZ
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
         .select(

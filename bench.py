@@ -74,7 +74,7 @@ def main() -> None:
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    from aide_spark.generator import spark_corpus
+    from aide_spark.generator import GENERATOR_VERSION, spark_corpus
     from aide_spark.plans import pipeline
     from aide_spark.queries import QUERIES
 
@@ -92,7 +92,7 @@ def main() -> None:
     # extraction pipeline: corpus is staged to parquet UNTIMED (at 100 TB the
     # input already exists); docs/sec times scan → validate → parse → emit
     corpus_path = os.environ.get(
-        "SPARK_GRAFT_CORPUS", f"/tmp/aide_spark_bench_corpus_{n_docs}"
+        "SPARK_GRAFT_CORPUS", f"/tmp/aide_spark_bench_corpus_v{GENERATOR_VERSION}_{n_docs}"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # partitionBy(bank_id): each parser branch's scan partition-prunes to

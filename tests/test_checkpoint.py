@@ -69,3 +69,22 @@ def test_lineage_and_metrics_written(spark, store):
     assert sum(r.spans for r in rows) == store.read(spark, "spans").count()
     quarantine = store.read(spark, "quarantine")
     assert quarantine.count() == lineage.where("status = 'quarantined'").count()
+
+
+def test_dlq_redrive_flags_critical_after_retries(spark, store):
+    from aide_spark.plans.checkpoint import redrive_quarantined
+
+    docs = local_corpus_df(spark, 16)  # includes deterministically-bad docs
+    run_with_resume(spark, docs, store, batch_id="b1")
+    n_quarantined = store.read(spark, "quarantine").count()
+    assert n_quarantined > 0
+
+    critical = None
+    for _ in range(3):
+        critical = redrive_quarantined(spark, docs, store, max_retries=3)
+    crit_rows = critical.collect()
+    # deterministically-invalid docs exhaust all 3 retries and get flagged
+    assert {r.doc_id for r in crit_rows} == {
+        r.doc_id for r in store.read(spark, "quarantine").select("doc_id").distinct().collect()
+    }
+    assert all(r.retries >= 3 for r in crit_rows)

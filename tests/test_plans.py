@@ -1,0 +1,66 @@
+"""Physical-plan pinning: the plans we designed for are the plans Catalyst
+actually produces (SURVEY.md §4 — pushdown, broadcast, top-k, bounded
+shuffle budget). These guard against regressions that only show at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from aide_spark.generator import local_corpus_df
+from aide_spark.operators.skew import explain_shuffles
+from aide_spark.plans import pipeline
+from aide_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q04_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q04_filter_pushdown"][0](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q04_column_pruning(spark):
+    df = QUERIES["q04_filter_pushdown"][0](spark, SF)
+    plan = _plan(df)
+    read = plan.split("ReadSchema")[1][:250]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q02_broadcasts_dimensions(spark):
+    plan = _plan(QUERIES["q02_join_revenue_by_nation"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q03_is_take_ordered(spark):
+    plan = _plan(QUERIES["q03_topk_orders"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_j1_dispatch_broadcasts(spark):
+    plan = _plan(QUERIES["j1_dispatch_by_dimension"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_parser_branch_shuffle_budget(spark):
+    """Each parser branch: the doc_id-hash exchange must be REUSED by every
+    window/groupBy in the branch (hash(doc_id) satisfies clustering on
+    (doc_id, page) and (doc_id, page, seg))."""
+    from aide_spark.operators import union_parser
+    from aide_spark.operators.lines import line_table
+
+    docs = local_corpus_df(spark, 24)
+    lines = line_table(docs.where("bank_id = 'UNION'"))
+    n = explain_shuffles(union_parser.transactions(lines))
+    assert n <= 3, f"union parser branch shuffles: {n}"
+
+
+def test_full_pipeline_shuffle_budget(spark):
+    docs = local_corpus_df(spark, 24)
+    out = pipeline.run(docs)
+    n = explain_shuffles(out["spans_out"])
+    assert n <= 30, f"spans_out shuffles: {n}"

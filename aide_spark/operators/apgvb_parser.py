@@ -57,7 +57,7 @@ def _clean_numeric_last(before: Column) -> Column:
         ),
         lambda t: F.regexp_replace(t, r"\.", "").rlike(r"^\d+$"),
     )
-    return F.element_at(clean, -1).cast("double")
+    return F.try_element_at(clean, F.lit(-1)).cast("double")
 
 
 def transactions(lines: DataFrame) -> DataFrame:
@@ -86,7 +86,7 @@ def transactions(lines: DataFrame) -> DataFrame:
         & (F.regexp_extract(c, BAL_CAP_RE, 1) != "")
         & _clean_numeric_last(py_strip(F.element_at(F.split(c, BAL_RE), 1))).isNotNull(),
     )
-    hit = F.element_at(usable, 1)
+    hit = F.try_element_at(usable, F.lit(1))
 
     before = py_strip(F.element_at(F.split(hit, BAL_RE), 1))
     parsed = (
@@ -148,8 +148,9 @@ def metadata(docs: DataFrame) -> DataFrame:
     arr = two_page_lines(F.col("spans"))
 
     def last_extract(cond, pat: str, group: int = 1) -> Column:
-        matched = F.element_at(
-            F.filter(arr, lambda l: cond(l) & (F.regexp_extract(l, pat, group) != "")), -1
+        matched = F.try_element_at(
+            F.filter(arr, lambda l: cond(l) & (F.regexp_extract(l, pat, group) != "")),
+            F.lit(-1),
         )
         return F.regexp_extract(matched, pat, group)
 

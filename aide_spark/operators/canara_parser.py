@@ -137,7 +137,7 @@ def transactions(lines: DataFrame) -> DataFrame:
 
 
 def _last_line(arr: Column, cond) -> Column:
-    return F.element_at(F.filter(arr, cond), -1)
+    return F.try_element_at(F.filter(arr, cond), F.lit(-1))
 
 
 def metadata(docs: DataFrame) -> DataFrame:
@@ -173,7 +173,7 @@ def metadata(docs: DataFrame) -> DataFrame:
 
     # address: 'Address' line + up to 3 continuation lines, stopping at the
     # first empty line or one containing a boundary keyword (canara:145-164)
-    addr = F.element_at(F.filter(idx, lambda x: x["l"].startswith("Address")), -1)
+    addr = F.try_element_at(F.filter(idx, lambda x: x["l"].startswith("Address")), F.lit(-1))
     head = py_strip(F.regexp_replace(addr["l"], "Address", ""))
     win3 = F.slice(arr, addr["i"] + 2, 3)  # 0-based i ⇒ lines i+1..i+3
     bad = lambda l: (l == "") | (  # noqa: E731
@@ -184,7 +184,7 @@ def metadata(docs: DataFrame) -> DataFrame:
         F.transform(win3, lambda l, k: F.when(bad(l), k + 1).otherwise(F.lit(0))),
         lambda p: p > 0,
     )
-    cut = F.coalesce(F.element_at(fail_pos, 1) - 1, F.size(win3))
+    cut = F.coalesce(F.try_element_at(fail_pos, F.lit(1)) - 1, F.size(win3))
     cont = F.slice(win3, 1, cut)
     parts = F.when(head != "", F.concat(F.array(head), cont)).otherwise(cont)
     address = F.when(F.size(parts) > 0, F.array_join(parts, " "))
@@ -219,7 +219,7 @@ def opening_balance(docs: DataFrame) -> DataFrame:
     (Dead for the output contract — the reference threads it into the page
     parser but never reads it — kept as a standalone operator for parity.)"""
     arr = first_page_lines(F.col("spans"))
-    line = F.element_at(F.filter(arr, lambda l: l.startswith("Opening Balance")), 1)
+    line = F.try_element_at(F.filter(arr, lambda l: l.startswith("Opening Balance")), F.lit(1))
     val = F.regexp_extract(line, r"Opening Balance\s+([\d,]+\.?\d*)", 1)
     return docs.select(
         "doc_id",

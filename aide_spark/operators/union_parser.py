@@ -134,7 +134,7 @@ def transactions(lines: DataFrame) -> DataFrame:
 
 
 def _last_match(arr: Column, cond) -> Column:
-    return F.element_at(F.filter(arr, cond), -1)
+    return F.try_element_at(F.filter(arr, cond), F.lit(-1))
 
 
 def _last_extract(arr: Column, contains: str, pattern: str, group: int = 1) -> Column:
@@ -185,7 +185,7 @@ def metadata(docs: DataFrame) -> DataFrame:
     to_section = F.when(
         part_to != "", F.substring(pl, F.position(part_to, pl), F.lit(10**6))
     )
-    from_year = F.element_at(F.split(part_from, "/"), -1).cast("int")
+    from_year = F.try_element_at(F.split(part_from, "/"), F.lit(-1)).try_cast("int")
     # year on the same line after the partial to-date (union:166-171)
     year_same = F.regexp_extract(to_section, r"/(\d{4})", 1)
     # else scan the next 3 lines for the first 4-digit year != from_year (union:173-186)
@@ -193,7 +193,7 @@ def metadata(docs: DataFrame) -> DataFrame:
     years = F.flatten(
         F.transform(win3, lambda l: F.regexp_extract_all(l, F.lit(r"(?:/)?(\d{4})"), 1))
     )
-    year_next = F.element_at(F.filter(years, lambda y: y.cast("int") != from_year), 1)
+    year_next = F.try_element_at(F.filter(years, lambda y: y.cast("int") != from_year), F.lit(1))
     to_year = F.when(year_same != "", year_same).otherwise(year_next)
     # Reference quirk (reproduced, not fixed): the `else` that assigns
     # metadata["statement_period"] at union:198-203 is attached to the

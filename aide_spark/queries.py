@@ -1116,3 +1116,63 @@ def multimodal_stub(spark, sf_dir):
     return decode_features(
         d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
+
+
+@q(
+    "p13_opening_balance_scan",
+    """
+    SELECT c_custkey AS account,
+           CAST(round(CAST(regexp_extract(concat('Opening Balance ', printf('%.2f', abs(c_acctbal))),
+                                          'Opening Balance\\s+([\\d,]+\\.?\\d*)', 1) AS DOUBLE) * 100)
+                AS BIGINT) AS opening_c
+    FROM customer
+    """,
+)
+def p13_opening_balance(spark, sf_dir):
+    """P13 — first 'Opening Balance' line regex probe + comma-strip cast
+    (canara_bank_extractor.py:205-215), over constructed header lines."""
+    c = _t(spark, sf_dir, "customer")
+    line = F.concat(F.lit("Opening Balance "), F.format_string("%.2f", F.abs(F.col("c_acctbal"))))
+    val = F.regexp_extract(line, r"Opening Balance\s+([\d,]+\.?\d*)", 1)
+    return c.select(
+        F.col("c_custkey").alias("account"),
+        F.round(F.regexp_replace(val, ",", "").cast("double") * 100)
+        .cast("long")
+        .alias("opening_c"),
+    )
+
+
+@q(
+    "m6_partial_year_lookahead",
+    """
+    SELECT account,
+           CASE WHEN to_year IS NOT NULL THEN concat('31/03/', to_year) END AS to_date
+    FROM (
+      SELECT c_custkey AS account,
+             list_filter(
+               flatten(list_transform(
+                 ['Branch Report Section',
+                  concat('Generated Total ', CAST(2024 + c_custkey % 3 AS VARCHAR))],
+                 l -> regexp_extract_all(l, '(?:/)?(\\d{4})', 1))),
+               y -> CAST(y AS INT) <> 2024)[1] AS to_year
+      FROM customer) t
+    """,
+)
+def m6_lookahead(spark, sf_dir):
+    """M6 — the Union partial-year statement-period lookahead
+    (union_bank_extractor.py:159-197): scan following lines' 4-digit years,
+    first one differing from the from-year wins; unset if none. Pure array
+    expressions (flatten ∘ transform ∘ regexp_extract_all ∘ filter)."""
+    c = _t(spark, sf_dir, "customer")
+    lines = F.array(
+        F.lit("Branch Report Section"),
+        F.concat(F.lit("Generated Total "), (2024 + F.col("c_custkey") % 3).cast("string")),
+    )
+    years = F.flatten(
+        F.transform(lines, lambda l: F.regexp_extract_all(l, F.lit(r"(?:/)?(\d{4})"), 1))
+    )
+    to_year = F.try_element_at(F.filter(years, lambda y: y.cast("int") != 2024), F.lit(1))
+    return c.select(
+        F.col("c_custkey").alias("account"),
+        F.when(to_year.isNotNull(), F.concat(F.lit("31/03/"), to_year)).alias("to_date"),
+    )

@@ -1,0 +1,97 @@
+"""Property tests (SURVEY.md §5): round-trip invariants over a wide slice of
+the generator's index space — cheap Python-side cross-checks of the pipeline
+outputs, complementing the byte-exact parity suite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aide_spark.generator import local_corpus_df
+from aide_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    docs = local_corpus_df(spark, 120)
+    o = pipeline.run(docs, persist=True)
+    return {
+        "txns": [r.asDict() for r in o["transactions"].collect()],
+        "summaries": {r.doc_id: r.asDict() for r in o["summaries"].collect()},
+        "spans": [r.asDict() for r in o["spans_out"].collect()],
+    }
+
+
+def test_union_net_change_equals_signed_sum(out):
+    by_doc = {}
+    for t in out["txns"]:
+        if t["bank_id"] == "UNION":
+            by_doc.setdefault(t["doc_id"], []).append(t)
+    assert by_doc
+    for doc_id, ts in by_doc.items():
+        s = out["summaries"][doc_id]
+        assert math.isclose(
+            s["net_change"], sum(t["Amount_Numeric"] for t in ts), abs_tol=1e-6
+        )
+        assert s["transaction_count"] == len(ts)
+
+
+def test_apgvb_balance_walk_matches_classification(out):
+    """The lag-classifier invariant: from the second record on, the type is
+    Debit iff the balance decreased (the FIRST record always classifies
+    Credit against previous=0.0 — the reference quirk, apgvb:821-824, so
+    closing−opening == net_change deliberately does NOT hold when a doc
+    opens with a debit). Closing balance must equal the last txn's balance."""
+    by_doc = {}
+    for t in out["txns"]:
+        if t["bank_id"] == "APGVB":
+            by_doc.setdefault(t["doc_id"], []).append(t)
+    assert by_doc
+    for doc_id, ts in by_doc.items():
+        ts.sort(key=lambda t: t["order"])
+        assert ts[0]["Transaction_Type"] == "Credit", doc_id
+        for prev, cur in zip(ts, ts[1:]):
+            decreased = float(cur["Balance"]) < float(prev["Balance"])
+            assert (cur["Transaction_Type"] == "Debit") == decreased, (doc_id, cur)
+        s = out["summaries"][doc_id]
+        assert math.isclose(s["closing_balance"], float(ts[-1]["Balance"]), abs_tol=1e-9)
+
+
+def test_span_seq_strictly_increasing_and_ordered_kinds(out):
+    by_doc = {}
+    for s in out["spans"]:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    order = {"meta": 0, "media": 1, "txn": 2, "summary": 3}
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda s: s["seq"])
+        assert [s["seq"] for s in spans] == list(range(len(spans))), doc_id
+        kinds = [order[s["kind"]] for s in spans]
+        assert kinds == sorted(kinds), doc_id
+        assert sum(1 for s in spans if s["kind"] == "summary") <= 1
+
+
+def test_txn_orders_dense_per_doc(out):
+    by_doc = {}
+    for t in out["txns"]:
+        by_doc.setdefault(t["doc_id"], []).append(t["order"])
+    for doc_id, orders in by_doc.items():
+        assert sorted(orders) == list(range(1, len(orders) + 1)), doc_id
+
+
+def test_canara_serials_restart_per_page(out):
+    by_page = {}
+    for t in out["txns"]:
+        if t["bank_id"] == "CANARA":
+            by_page.setdefault((t["doc_id"], t["Page_Number"]), []).append(int(t["S_No"]))
+    assert by_page
+    for key, serials in by_page.items():
+        assert sorted(serials) == list(range(1, len(serials) + 1)), key
+
+
+def test_debit_xor_credit(out):
+    for t in out["txns"]:
+        if t["bank_id"] in ("CANARA", "APGVB"):
+            d, c = t["Debit"], t["Credit"]
+            assert (d == "") or (c == ""), t
+            assert (t["Transaction_Type"] == "Debit") == (c == ""), t

@@ -1,36 +1,51 @@
 """Skew handling for per-document compute (SURVEY.md §4.1).
 
-Per-doc parse work is proportional to span count; a heavy tail (the
-reference caps at 500 pages, apgvb_extractor.py:68) starves partitions. AQE
-skew handling only splits join/shuffle skew, NOT UDF/window compute skew, so
-the parse stage repartitions explicitly by a size-salted key before any
-per-doc window work.
+Per-doc work is proportional to span count, and the tail is capped by the
+reference's own 500-page limit (apgvb_extractor.py:68) — so skew is bounded
+but real. Two distinct places to handle it:
+
+* **Narrow per-doc stages** (binary decode, mapInPandas feature extraction):
+  partitioning set BEFORE the stage sticks. :func:`repartition_by_span_count`
+  hash-distributes light docs and ROUND-ROBINS the rare heavy docs across
+  partitions (range-partitioning a size bucket would do the opposite —
+  adjacentize all heavy docs into one range).
+* **Window/groupBy stages** (the parsers): every window requires the whole
+  doc in one partition, so a heavy doc is indivisible. The controls are the
+  shuffle partition count (expected collision of two heavy docs in one hash
+  partition falls as 1/partitions), the 500-page cap, and AQE for the join
+  side. This is stated, not hidden: no pre-shuffle trick survives the
+  window's own hash exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def repartition_by_span_count(
     docs: DataFrame, num_partitions: int, heavy_threshold: int = 2000
 ) -> DataFrame:
-    """Range-partition docs so heavy documents spread across partitions.
+    """Balance narrow per-doc compute: hash-partition light docs; round-robin
+    the heavy tail so no two heavy docs share a partition while heavy docs
+    are fewer than partitions.
 
-    Docs are bucketed by log2(span count); within a bucket, ``doc_id`` hash
-    spreads them. Heavy docs (> heavy_threshold spans) land in dedicated
-    partitions instead of hiding inside light-doc partitions.
+    The heavy branch uses a global row_number (single-task) — acceptable
+    precisely because heavy docs are rare by definition; if they are not,
+    raise ``heavy_threshold``.
     """
     size = F.coalesce(F.size("spans"), F.lit(0))
-    bucket = F.when(size > heavy_threshold, F.lit(99)).otherwise(
-        F.floor(F.log2(size + 1)).cast("int")
+    light = docs.where(size <= heavy_threshold).repartition(num_partitions, "doc_id")
+    heavy = docs.where(size > heavy_threshold)
+    rr = (
+        F.row_number().over(Window.orderBy(F.desc(F.size("spans")), "doc_id")) - 1
+    ) % num_partitions
+    heavy_rr = (
+        heavy.withColumn("_p", rr)
+        .repartition(num_partitions, "_p")
+        .drop("_p")
     )
-    return (
-        docs.withColumn("_sz_bucket", bucket)
-        .repartitionByRange(num_partitions, "_sz_bucket", "doc_id")
-        .drop("_sz_bucket")
-    )
+    return light.unionByName(heavy_rr)
 
 
 def explain_shuffles(df: DataFrame) -> int:

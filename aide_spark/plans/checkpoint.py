@@ -72,11 +72,17 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, table: str, as_of: str | None = None
+    ) -> DataFrame | None:
+        """Snapshot read of committed batches; ``as_of`` time-travels to the
+        state as of that batch id (inclusive) — Iceberg snapshot-read
+        semantics on the parquet fallback."""
         paths = [
             self._batch_path(table, c["batch_id"])
             for c in self.committed()
-            if os.path.exists(self._batch_path(table, c["batch_id"]))
+            if (as_of is None or c["batch_id"] <= as_of)
+            and os.path.exists(self._batch_path(table, c["batch_id"]))
         ]
         if not paths:
             return None

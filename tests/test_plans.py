@@ -64,3 +64,32 @@ def test_full_pipeline_shuffle_budget(spark):
     out = pipeline.run(docs)
     n = explain_shuffles(out["spans_out"])
     assert n <= 30, f"spans_out shuffles: {n}"
+
+
+def test_skew_repartition_balances_heavy_docs(spark):
+    """A corpus with a heavy tail must not concentrate heavy docs into the
+    partitions of light docs (SURVEY.md §4.1)."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.generator import local_corpus_df
+    from aide_spark.operators.skew import repartition_by_span_count
+
+    docs = local_corpus_df(spark, 48)
+    heavy = docs.withColumn(  # blow up a few docs to 100x span count
+        "spans",
+        F.when(
+            F.col("doc_id").rlike("00000[0-2]$"),
+            F.flatten(F.array_repeat(F.col("spans"), 100)),
+        ).otherwise(F.col("spans")),
+    )
+    parts = (
+        repartition_by_span_count(heavy, 8, heavy_threshold=500)
+        .select(F.spark_partition_id().alias("p"), F.size("spans").alias("n"))
+        .groupBy("p")
+        .sum("n")
+        .collect()
+    )
+    sizes = sorted((r["sum(n)"] or 0) for r in parts)
+    # heavy docs land in dedicated partitions: no single partition carries
+    # more than ~60% of total span mass across 8 partitions
+    assert max(sizes) / max(sum(sizes), 1) < 0.6, sizes

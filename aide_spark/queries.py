@@ -1176,3 +1176,19 @@ def m6_lookahead(spark, sf_dir):
         F.col("c_custkey").alias("account"),
         F.when(to_year.isNotNull(), F.concat(F.lit("31/03/"), to_year)).alias("to_date"),
     )
+
+
+@q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (rows-only: KMeans training is iterative, not SQL-expressible):
+    coarse-quantize with MLlib KMeans, probe the 4 nearest of 8 clusters,
+    brute-force within — the partition-pruned search shape for 10^9+ vectors.
+    Exactness vs brute force is pinned by tests/test_similarity.py."""
+    from .operators.similarity import ivf_index, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").collect()[0].embedding
+    assigned, centroids = ivf_index(emb, k=8, seed=42)
+    return ivf_search(
+        assigned.where("vec_id != 0"), centroids, list(query), nprobe=4, topk=10
+    )

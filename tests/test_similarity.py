@@ -1,0 +1,61 @@
+"""IVF similarity search: probing all clusters must equal brute force;
+probing a subset must retain useful recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aide_spark.functions.vectors import cosine
+from aide_spark.operators.similarity import ivf_index, ivf_search
+
+SF = "/root/testdata/sf0.001"
+K = 8
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, k=K, seed=42)
+    assigned = assigned.cache()
+    query = emb.where("vec_id = 0").collect()[0].embedding
+    brute = [
+        r.vec_id
+        for r in emb.where("vec_id != 0")
+        .select("vec_id", cosine(F.col("embedding"),
+                                 F.array(*[F.lit(float(x)) for x in query])).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    return {"assigned": assigned, "centroids": centroids, "query": list(query),
+            "brute": brute}
+
+
+def test_full_probe_equals_brute_force(index):
+    got = [
+        r.vec_id
+        for r in ivf_search(
+            index["assigned"].where("vec_id != 0"), index["centroids"],
+            index["query"], nprobe=K, topk=10,
+        ).collect()
+    ]
+    assert got == index["brute"]
+
+
+def test_partial_probe_recall(index):
+    got = {
+        r.vec_id
+        for r in ivf_search(
+            index["assigned"].where("vec_id != 0"), index["centroids"],
+            index["query"], nprobe=4, topk=10,
+        ).collect()
+    }
+    recall = len(got & set(index["brute"])) / 10
+    assert recall >= 0.5, recall
+
+
+def test_clusters_cover_all_vectors(index):
+    n = index["assigned"].count()
+    assert index["assigned"].where("cluster IS NOT NULL").count() == n
+    assert index["assigned"].select("cluster").distinct().count() <= K

@@ -30,33 +30,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _min_hash(shingles: Column, seed: int) -> Column:
-    # NB: must be a 1-arg lambda — a 2-arg lambda (even via default args)
-    # makes PySpark pass the array INDEX as the second lambda variable.
-    prefix = f"{seed}:"
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
-    """array<string> of ``num_hashes`` min-md5 values (the MinHash sketch)."""
-    return F.array(*[_min_hash(shingles, h) for h in range(num_hashes)])
-
-
-def lsh_band_keys(signature: Column, rows_per_band: int = 2) -> Column:
-    """array<string> of LSH band bucket keys: md5 of each contiguous
-    ``rows_per_band`` slice of the signature. Docs sharing ANY band key are
-    candidate near-duplicates (classic banding: P[match] = 1-(1-s^r)^b)."""
-    # number of bands is static given the fixed signature length used here
-    return F.transform(
-        F.sequence(F.lit(0), (F.size(signature) / F.lit(rows_per_band)).cast("int") - 1),
-        lambda b: F.md5(
-            F.concat(
-                b.cast("string"),
-                F.lit("|"),
-                F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), ","),
-            )
-        ),
-    )
+# NB (perf): MinHash signatures are deliberately NOT provided as a single
+# array expression — CollapseProject inlines such an expression into every
+# consumer (band keys, join sides), re-evaluating the whole shingle transform
+# N×H times. The scalable form is explode(shingles) + H min() aggregates; see
+# queries.dedup_minhash_lsh. Array-expression lambdas must also be 1-arg —
+# a 2-arg lambda (even via default args) receives the array INDEX as the
+# second lambda variable.
 
 
 def token_hash32(tok: Column) -> Column:

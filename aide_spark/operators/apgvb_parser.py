@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .lines import py_strip, two_page_lines
+from .lines import py_strip
 
 BANK_NAME = "Andhra Pradesh Grameena Bank"
 
@@ -143,9 +143,11 @@ def transactions(lines: DataFrame) -> DataFrame:
     )
 
 
-def metadata(docs: DataFrame) -> DataFrame:
-    """Per-doc metadata from the first two pages (apgvb:440-551)."""
-    arr = two_page_lines(F.col("spans"))
+def metadata(head_lines: DataFrame) -> DataFrame:
+    """Per-doc metadata from the first two pages (apgvb:440-551);
+    ``head_lines`` is the materialized (doc_id, arr) from
+    ``lines.head_lines_table(two_pages=True)``."""
+    arr = F.col("arr")
 
     def last_extract(cond, pat: str, group: int = 1) -> Column:
         matched = F.try_element_at(
@@ -212,7 +214,7 @@ def metadata(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("address"),
         opening.alias("opening_balance"),
     )
-    return docs.select("doc_id", meta.alias("metadata"))
+    return head_lines.select("doc_id", meta.alias("metadata"))
 
 
 def _nz(c: Column) -> Column:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .lines import first_page_lines, py_strip
+from .lines import py_strip
 
 BANK_NAME = "Canara Bank"
 
@@ -140,9 +140,10 @@ def _last_line(arr: Column, cond) -> Column:
     return F.try_element_at(F.filter(arr, cond), F.lit(-1))
 
 
-def metadata(docs: DataFrame) -> DataFrame:
-    """Per-doc metadata from first-page lines (canara:100-184)."""
-    arr = first_page_lines(F.col("spans"))
+def metadata(head_lines: DataFrame) -> DataFrame:
+    """Per-doc metadata from first-page lines (canara:100-184); ``head_lines``
+    is the materialized (doc_id, arr) from ``lines.head_lines_table``."""
+    arr = F.col("arr")
     idx = F.transform(arr, lambda l, i: F.struct(l.alias("l"), i.alias("i")))
 
     def last_extract(startswith: str | None, contains: str | None, pat: str) -> Column:
@@ -207,21 +208,21 @@ def metadata(docs: DataFrame) -> DataFrame:
         address.alias("address"),
         F.lit(None).cast("double").alias("opening_balance"),
     )
-    return docs.select("doc_id", meta.alias("metadata"))
+    return head_lines.select("doc_id", meta.alias("metadata"))
 
 
 def _nz(c: Column) -> Column:
     return F.when(c != "", c)
 
 
-def opening_balance(docs: DataFrame) -> DataFrame:
+def opening_balance(head_lines: DataFrame) -> DataFrame:
     """P13 — first 'Opening Balance' line of page 1 → float (canara:205-215).
     (Dead for the output contract — the reference threads it into the page
     parser but never reads it — kept as a standalone operator for parity.)"""
-    arr = first_page_lines(F.col("spans"))
+    arr = F.col("arr")
     line = F.try_element_at(F.filter(arr, lambda l: l.startswith("Opening Balance")), F.lit(1))
     val = F.regexp_extract(line, r"Opening Balance\s+([\d,]+\.?\d*)", 1)
-    return docs.select(
+    return head_lines.select(
         "doc_id",
         F.coalesce(
             F.regexp_replace(val, ",", "").cast("double"), F.lit(0.0)

@@ -110,17 +110,33 @@ def line_table(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
-def first_page_lines(spans: Column) -> Column:
-    """array<string> of trimmed first-page lines (metadata probes operate on
-    this — the reference reads only page 1, union_bank_extractor.py:79)."""
-    return F.transform(
-        F.split(F.element_at(pages_col(spans), 1), "\n"), lambda l: F.trim(l)
-    )
+def head_lines_table(lines: DataFrame, two_pages: bool = False) -> DataFrame:
+    """(doc_id, arr) — the first-page (or two-page) trimmed line ARRAY,
+    materialized through an aggregation barrier.
 
+    Metadata extraction probes the line array ~15× per doc; if the array is
+    an inline expression, CollapseProject re-evaluates the whole
+    spans→pages→split pipeline per probe (measured ~50% of total pipeline
+    CPU). Aggregating the already-exploded line table stores the array once;
+    the probes then traverse a dozen stored strings.
 
-def two_page_lines(spans: Column) -> Column:
-    """APGVB metadata line array: first two pages + trailing newline
-    (apgvb_extractor.py:491-496)."""
-    return F.transform(
-        F.split(head_text_col(spans, 2, sep_newline=True), "\n"), lambda l: F.trim(l)
+    ``two_pages=True`` mirrors APGVB's ``page1+'\\n'+page2+'\\n'`` assembly
+    (apgvb_extractor.py:491-496): lines of pages 1-2 plus one trailing ''
+    from the final newline. (Envelope: an empty page among the first two
+    would contribute one '' line in the reference's split that the line
+    table cannot see — the synthesized corpus has none.)
+    """
+    pages = 2 if two_pages else 1
+    grouped = (
+        lines.where(F.col("page") <= pages)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("off", "line"))),
+                lambda x: x["line"],
+            ).alias("arr")
+        )
     )
+    if two_pages:
+        grouped = grouped.withColumn("arr", F.concat(F.col("arr"), F.array(F.lit(""))))
+    return grouped

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .lines import first_page_lines, py_strip
+from .lines import py_strip
 
 BANK_NAME = "Union Bank of India"
 
@@ -147,9 +147,14 @@ def _last_extract(arr: Column, contains: str, pattern: str, group: int = 1) -> C
     return F.regexp_extract(line, pattern, group)
 
 
-def metadata(docs: DataFrame) -> DataFrame:
-    """Per-doc metadata struct from first-page lines (union:100-235)."""
-    arr = first_page_lines(F.col("spans"))
+def metadata(head_lines: DataFrame) -> DataFrame:
+    """Per-doc metadata struct from first-page lines (union:100-235).
+
+    ``head_lines`` is (doc_id, arr) from ``lines.head_lines_table`` — a
+    MATERIALIZED array, so the ~15 field probes traverse stored strings
+    instead of re-deriving the page split per probe (CollapseProject would
+    inline an expression-valued array into every consumer)."""
+    arr = F.col("arr")
     idx = F.transform(arr, lambda l, i: F.struct(l.alias("l"), i.alias("i")))
 
     name_guard = lambda l: l.startswith("Name") & l.rlike(r"\S\s+\S")  # noqa: E731
@@ -260,7 +265,7 @@ def metadata(docs: DataFrame) -> DataFrame:
         address.alias("address"),
         F.lit(None).cast("double").alias("opening_balance"),
     )
-    return docs.select("doc_id", meta.alias("metadata"))
+    return head_lines.select("doc_id", meta.alias("metadata"))
 
 
 def _nz(c: Column) -> Column:

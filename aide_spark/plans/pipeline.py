@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import apgvb_parser, canara_parser, union_parser, validation
-from ..operators.lines import line_table
+from ..operators.lines import head_lines_table, line_table
 from ..serialize import meta_texts_col, summary_text_col, txn_text_col
 
 SUMMARY_COLS = [
@@ -65,6 +65,18 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
     c_docs = valid_docs.where(F.col("bank_id") == "CANARA")
     a_docs = valid_docs.where(F.col("bank_id") == "APGVB")
 
+    # metadata inputs: the first-page line ARRAY, materialized once per doc
+    # behind an aggregation barrier (lines.head_lines_table docstring).
+    # Docs whose head pages have no text lines still get a metadata row
+    # (reference: metadata extracted from '' text ⇒ constants only).
+    def meta_input(branch_docs, branch_lines, two_pages=False):
+        empty = [""] * (2 if two_pages else 1)
+        return branch_docs.select("doc_id").join(
+            head_lines_table(branch_lines, two_pages=two_pages), "doc_id", "left"
+        ).withColumn(
+            "arr", F.coalesce(F.col("arr"), F.array(*[F.lit(x) for x in empty]))
+        )
+
     transactions = (
         union_parser.transactions(u_lines).withColumn("bank_id", F.lit("UNION"))
         .unionByName(
@@ -75,9 +87,11 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
         )
     )
     metadata = (
-        union_parser.metadata(u_docs)
-        .unionByName(canara_parser.metadata(c_docs))
-        .unionByName(apgvb_parser.metadata(a_docs))
+        union_parser.metadata(meta_input(u_docs, u_lines))
+        .unionByName(canara_parser.metadata(meta_input(c_docs, c_lines)))
+        .unionByName(
+            apgvb_parser.metadata(meta_input(a_docs, a_lines, two_pages=True))
+        )
     )
     if persist:
         transactions = transactions.persist()

@@ -9,11 +9,20 @@ left-fold vector math).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aide_spark.queries import QUERIES
+# import works regardless of the harness's cwd; executors also need the
+# package for the two Arrow-batched functions (corpus gen, multimodal stub)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from aide_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

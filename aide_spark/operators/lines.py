@@ -105,7 +105,7 @@ def line_table(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
             *carry,
             "page",
             F.col("s.offset").alias("off"),
-            F.trim(F.col("s.text")).alias("line"),
+            py_strip(F.col("s.text")).alias("line"),
         )
     )
 

@@ -123,8 +123,44 @@ ERROR_MESSAGES = {  # error_codes.py:25-36 (V9)
 }
 
 
-def with_error_message(validation: DataFrame) -> DataFrame:
-    """V9 — error-code → message projection, incl. the size/page
-    interpolations (error_codes.py:38-58)."""
+def with_error_message(
+    validation: DataFrame,
+    size_col: str = "declared_size_mb",
+    pages_col: str = "page_count",
+) -> DataFrame:
+    """V9 — error-code → message projection with the reference's two
+    interpolated branches (error_codes.py:49-58):
+
+    * ``FILE_TOO_LARGE`` → ``"File size {file_size_mb:.1f}MB exceeds the
+      maximum allowed limit of 25MB"``
+    * ``TOO_MANY_PAGES`` → ``"PDF has {page_count} pages, maximum allowed
+      is 200"``
+
+    Python's ``:.1f`` rounds half-to-even on the binary value, so the size
+    is rendered with ``format_number`` (DecimalFormat HALF_EVEN — Java's
+    ``%.1f`` would round half-up and diverge on exact ties like 25.25).
+    Interpolations only fire when the input carries the corresponding
+    column (mirrors the reference, which interpolates only when the kwarg
+    is supplied); otherwise the static map text is used.
+    """
     mapping = F.create_map(*[F.lit(x) for kv in ERROR_MESSAGES.items() for x in kv])
-    return validation.withColumn("error_message", mapping[F.col("error_code")])
+    msg = mapping[F.col("error_code")]
+    if pages_col in validation.columns:
+        msg = F.when(
+            F.col("error_code") == "TOO_MANY_PAGES",
+            F.format_string(
+                "PDF has %s pages, maximum allowed is 200",
+                F.col(pages_col).cast("long").cast("string"),
+            ),
+        ).otherwise(msg)
+    if size_col in validation.columns:
+        msg = F.when(
+            F.col("error_code") == "FILE_TOO_LARGE",
+            F.format_string(
+                "File size %sMB exceeds the maximum allowed limit of 25MB",
+                F.regexp_replace(
+                    F.format_number(F.col(size_col).cast("double"), 1), ",", ""
+                ),
+            ),
+        ).otherwise(msg)
+    return validation.withColumn("error_message", msg)

@@ -278,9 +278,9 @@ def p2(spark, sf_dir):
            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
     FROM (
       SELECT user_id, value,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
       FROM events) t
     GROUP BY user_id, seg
     """,

@@ -75,9 +75,70 @@ SUMMARY_ORDER = [
 # ---------------------------------------------------------------------------
 
 
+def py_float_str(col: Column) -> Column:
+    """Render a double exactly as Python ``str(float)`` does.
+
+    ``cast(double as string)`` (Java ``Double.toString``) agrees with Python
+    only for ``1e-3 <= |v| < 1e7``: Java switches to scientific notation
+    outside that band, Python only for ``|v| < 1e-4`` or ``>= 1e16``.  A
+    >=1-crore balance (1e7) would therefore render ``1.0E7`` instead of
+    ``10000000.0`` and silently break span-sequence equality.  This
+    expression re-renders Java's output to Python's:
+
+    * Java-sci exponents in [-4, 15] expand to plain decimal;
+    * genuinely-scientific values reformat ``1.05E22`` → ``1.05e+22``
+      (lowercase ``e``, explicit sign, >=2-digit zero-padded exponent,
+      mantissa ``.0`` stripped) — Python's form.
+
+    Digit parity: for ``|v| < 1e16`` (the whole plain-decimal band) Java 17
+    and CPython produce identical digit strings (verified over the boundary
+    cases in tests); beyond 1e16 pre-Ryu Java can emit non-shortest digits
+    (e.g. 1.05e22 → ``1.0499999999999999e+22``) — out of the monetary
+    envelope this surface carries.  (NaN/Infinity stay Java-spelled — they
+    cannot occur in monetary columns.)
+    """
+    s = col.cast("double").cast("string")
+    parts = F.split(s, "E")
+    m, e = parts[0], parts[1].cast("int")
+    neg = F.when(m.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    absm = F.regexp_replace(m, "^-", "")
+    # Java mantissa is d[.ddd] with >=1 fraction digit; ".0" is the only
+    # redundant-zero form it emits.
+    m_clean = F.regexp_replace(absm, r"\.0$", "")
+    digits = F.regexp_replace(absm, r"\.0$|\.", "")
+    intlen = e + F.lit(1)
+    expand_pos = F.when(
+        F.length(digits) <= intlen,
+        F.concat(F.rpad(digits, intlen, "0"), F.lit(".0")),
+    ).otherwise(
+        F.concat(
+            F.substring(digits, F.lit(1), intlen),
+            F.lit("."),
+            F.substring(digits, intlen + 1, F.lit(2147483647)),
+        )
+    )
+    expand_neg = F.concat(F.lit("0."), F.repeat(F.lit("0"), -e - 1), digits)
+    py_sci = F.concat(
+        m_clean,
+        F.lit("e"),
+        F.when(e < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(e).cast("string"), 2, "0"),
+    )
+    return F.when(
+        ~s.contains("E"), s
+    ).otherwise(
+        F.concat(
+            neg,
+            F.when((e >= 16) | (e <= -5), py_sci)
+            .when(e >= 0, expand_pos)
+            .otherwise(expand_neg),
+        )
+    )
+
+
 def _fmt(col: Column, tag: str) -> Column:
     if tag == "f":
-        return col.cast("double").cast("string")  # str(float) form
+        return py_float_str(col)  # str(float) form, full range
     if tag == "f2":
         return F.format_string("%.2f", col.cast("double"))
     if tag == "i":

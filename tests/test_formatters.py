@@ -53,3 +53,23 @@ def test_formatted_fields_match_reference(spark_formatted):
                 assert getattr(got, f) == txn[f], (d["doc_id"], order, f)
             checked += 1
     assert checked > 50
+
+
+def test_py_float_str_matches_python(spark):
+    """serialize.py f-tag: Spark rendering == str(float) across the full
+    plain-decimal band and both scientific boundaries (ADVICE r1: the old
+    cast(double as string) emitted 1.0E7 for >=1e7)."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.serialize import py_float_str
+
+    vals = [
+        0.0, 1.0, -1.0, 123.45, 9999999.99, 1e7, 10000000.5, -12345678.9,
+        12345678901.23, 1e8 + 0.01, 123456789012345.6, 999999999999999.9,
+        1e15, 1.5e15, 1e16, 1.5e16, 1e22,
+        0.001, 0.0001, 0.00015, 9.999e-05, 1e-05, 1.5e-07, -2.5e-08,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select("v", py_float_str(F.col("v")).alias("s")).collect()
+    for r in rows:
+        assert r.s == str(r.v), (r.v, r.s)

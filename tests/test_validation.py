@@ -54,3 +54,53 @@ def test_page_and_text_metrics(results):
     assert empty.page_count == 0
     scanned = next(r for d, r in results.items() if d.startswith("BAD-SCANNED"))
     assert scanned.text_length < 100
+
+
+def test_v9_interpolated_messages(spark):
+    """V9 — error_message byte-equals the reference's get_error_message
+    incl. the FILE_TOO_LARGE/:.1f and TOO_MANY_PAGES interpolations
+    (error_codes.py:38-58). Tie values (25.25) pin half-even rounding."""
+    import sys
+
+    from pyspark.sql import Row
+
+    from aide_spark.operators.validation import with_error_message
+    from tests.reference_oracle import _install_pypdf_stub
+
+    _install_pypdf_stub()
+    if "/root/reference/api" not in sys.path:
+        sys.path.insert(0, "/root/reference/api")
+    from validators.error_codes import ErrorCode, get_error_message
+
+    cases = [
+        ("FILE_TOO_LARGE", 26.04, 10),
+        ("FILE_TOO_LARGE", 25.25, 10),   # exact .x5 tie
+        ("FILE_TOO_LARGE", 31.0, 10),
+        ("FILE_TOO_LARGE", 1234.56, 10),  # comma-free rendering
+        ("TOO_MANY_PAGES", 30.0, 251),
+        ("TOO_MANY_PAGES", 5.0, 999),
+        ("VALID", 1.0, 3),
+        ("CORRUPTED", 1.0, 0),
+    ]
+    df = spark.createDataFrame(
+        [Row(error_code=c, declared_size_mb=s, page_count=p) for c, s, p in cases]
+    )
+    got = {
+        (r.error_code, r.declared_size_mb, r.page_count): r.error_message
+        for r in with_error_message(df).collect()
+    }
+    for code, size, pages in cases:
+        want = get_error_message(
+            ErrorCode(code), file_size_mb=size, page_count=pages
+        )
+        assert got[(code, size, pages)] == want, (code, size, pages)
+
+
+def test_v9_static_when_columns_absent(spark):
+    from pyspark.sql import Row
+
+    from aide_spark.operators.validation import ERROR_MESSAGES, with_error_message
+
+    df = spark.createDataFrame([Row(error_code="FILE_TOO_LARGE")])
+    (r,) = with_error_message(df).collect()
+    assert r.error_message == ERROR_MESSAGES["FILE_TOO_LARGE"]

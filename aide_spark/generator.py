@@ -25,7 +25,7 @@ from typing import Iterator
 from .schemas import DOCUMENTS, PAGE_BREAK
 
 CORRECT_PASSWORD = "testpassword123"  # tests/README.md:40
-GENERATOR_VERSION = 2  # bump on any grammar change (keys staged bench corpora)
+GENERATOR_VERSION = 3  # bump on any grammar change (keys staged bench corpora)
 
 _MERCHANTS = [
     "AMAZON", "FLIPKART", "SWIGGY", "ZOMATO", "IRCTC", "BIGBAZAAR",
@@ -212,6 +212,36 @@ _TAXONOMY = [
     "encrypted_wrong_pw", "encrypted_no_pw", "large_file", "empty", "many_pages",
 ]
 
+_PRODUCERS = ["iText 5.5.13", "wkhtmltopdf 0.12.6", "LibreOffice 7.4", "pdfgen 2.1"]
+
+
+def _pdf_meta(rng: random.Random, doc_id: str, bank: str | None) -> dict | None:
+    """Deterministic PDF document-info dict, keyed like ``PdfReader.metadata``
+    (V7 input envelope, pdf_validator.py:252-282).  Exercises every branch of
+    the reference's extractor: missing dict (``if pdf_reader.metadata``),
+    missing keys (``.get`` → None), and empty-string values (the ``if value:``
+    truthy drop)."""
+    r = rng.random()
+    if r < 0.10:
+        return None  # reader exposes no metadata at all
+    meta: dict = {"/Producer": rng.choice(_PRODUCERS)}
+    if r < 0.25:
+        return meta  # producer-only (scanner output style)
+    meta["/Title"] = f"Account Statement {doc_id}" if rng.random() < 0.8 else ""
+    if bank:
+        meta["/Author"] = f"{bank.title()} Bank"
+    if rng.random() < 0.5:
+        meta["/Subject"] = "Statement of Account"
+    if rng.random() < 0.7:
+        meta["/Creator"] = "StatementService/1.0"
+    meta["/CreationDate"] = (
+        f"D:2024{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}"
+        f"{rng.randrange(24):02d}0000+05'30'"
+    )
+    if rng.random() < 0.4:
+        meta["/ModDate"] = meta["/CreationDate"]
+    return meta
+
 
 def gen_doc(i: int) -> dict:
     """Deterministically generate document ``i`` of the corpus.
@@ -220,11 +250,14 @@ def gen_doc(i: int) -> dict:
     (FIXTURES.md §1.1); the rest round-robin the three bank grammars.
     """
     rng = random.Random(f"aide-spark-{i}")
+    # separate stream so adding metadata never perturbs span content
+    meta_rng = random.Random(f"aide-spark-meta-{i}")
     if i % 4 == 3:
         cls = _TAXONOMY[(i // 4) % len(_TAXONOMY)]
         doc_id = f"BAD-{cls.upper().replace('_', '')}-{i:06d}"
         row = dict(doc_id=doc_id, spans=None, bank_id=None, password=None,
-                   encrypted=False, declared_size_mb=0.1)
+                   encrypted=False, declared_size_mb=0.1,
+                   pdf_meta=_pdf_meta(meta_rng, doc_id, None))
         if cls == "corrupted":
             return row
         if cls == "empty":
@@ -265,7 +298,8 @@ def gen_doc(i: int) -> dict:
     doc_id = f"{bank}-{i:06d}"
     spans = {"UNION": _union_doc, "CANARA": _canara_doc, "APGVB": _apgvb_doc}[bank](rng, doc_id)
     return dict(doc_id=doc_id, spans=spans, bank_id=bank, password=None,
-                encrypted=False, declared_size_mb=round(len(spans) * 0.002, 3))
+                encrypted=False, declared_size_mb=round(len(spans) * 0.002, 3),
+                pdf_meta=_pdf_meta(meta_rng, doc_id, bank))
 
 
 def corpus(n: int) -> list[dict]:
@@ -276,7 +310,7 @@ def local_corpus_df(spark, n: int):
     """Small driver-side corpus as a DataFrame (tests)."""
     return spark.createDataFrame(
         [(d["doc_id"], d["spans"], d["bank_id"], d["password"], d["encrypted"],
-          d["declared_size_mb"]) for d in corpus(n)],
+          d["declared_size_mb"], d["pdf_meta"]) for d in corpus(n)],
         DOCUMENTS,
     )
 
@@ -308,6 +342,7 @@ def spark_corpus(spark, n: int, partitions: int = 32):
                     "password": [r["password"] for r in rows],
                     "encrypted": [r["encrypted"] for r in rows],
                     "declared_size_mb": [r["declared_size_mb"] for r in rows],
+                    "pdf_meta": [r["pdf_meta"] for r in rows],
                 }
             )
 

@@ -110,6 +110,43 @@ def _res(is_valid: bool, pdf_type: str, error_code: str, confidence: float):
     )
 
 
+# (PdfReader.metadata key, output field) — pdf_validator.py:258-264,270-273
+PDF_META_FIELDS = [
+    ("/Title", "title"),
+    ("/Author", "author"),
+    ("/Subject", "subject"),
+    ("/Creator", "creator"),
+    ("/Producer", "producer"),
+    ("/CreationDate", "creation_date"),
+    ("/ModDate", "modification_date"),
+]
+
+
+def pdf_metadata_struct(meta_col: str = "pdf_meta"):
+    """V7 — document-info extraction (pdf_validator.py:252-282) as one
+    struct expression over the ``map<string,string>`` metadata column.
+
+    Semantics preserved from the reference: a field is set only when the key
+    is present AND truthy (``if value:`` — empty strings drop out, rendered
+    here as NULL, the columnar analogue of an absent dict key); a doc whose
+    reader exposes no metadata at all yields all-NULL fields (``{}``)."""
+    m = F.col(meta_col)
+    return F.struct(
+        *[
+            F.nullif(F.try_element_at(m, F.lit(k)), F.lit("")).alias(field)
+            for k, field in PDF_META_FIELDS
+        ]
+    )
+
+
+def extract_pdf_metadata(docs: DataFrame, meta_col: str = "pdf_meta") -> DataFrame:
+    """documents → (doc_id, title, author, subject, creator, producer,
+    creation_date, modification_date) — one narrow projection, no shuffle."""
+    return docs.select("doc_id", pdf_metadata_struct(meta_col).alias("_m")).select(
+        "doc_id", "_m.*"
+    )
+
+
 ERROR_MESSAGES = {  # error_codes.py:25-36 (V9)
     "VALID": "PDF is valid and ready for processing",
     "NOT_PDF": "File is not a valid PDF document",

@@ -218,6 +218,66 @@ def v6(spark, sf_dir):
 
 
 @q(
+    "v7_doc_metadata",
+    """
+    SELECT doc_id,
+           coalesce(CASE WHEN doc_id % 10 = 9 OR doc_id % 3 = 0 THEN NULL
+                ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END, '') AS title,
+           coalesce(CASE WHEN doc_id % 10 = 9 OR doc_id % 2 = 1 THEN NULL
+                ELSE upper(lang) || ' Bank' END, '') AS author,
+           coalesce(CASE WHEN doc_id % 10 = 9 OR doc_id % 5 <> 0 THEN NULL
+                ELSE 'Statement of Account' END, '') AS subject,
+           coalesce(CASE WHEN doc_id % 10 = 9 THEN NULL ELSE source END, '') AS producer,
+           coalesce(CASE WHEN doc_id % 10 = 9 THEN NULL
+                ELSE 'D:2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                     || '01120000' END, '') AS creation_date
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def v7(spark, sf_dir):
+    """V7 — PDF document-info extraction (pdf_validator.py:252-282) driven
+    end-to-end: synthesize a PdfReader.metadata-shaped map (absent dict 10%,
+    empty-string /Title third, missing keys) then run the columnar probe
+    ``extract_pdf_metadata`` — the empty-value truthy drop and absent-key
+    NULLs must agree with the oracle's direct CASE computation."""
+    from .operators.validation import extract_pdf_metadata
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    no_meta = F.col("doc_id") % 10 == 9
+    keys = F.array(
+        *[F.lit(k) for k in
+          ["/Title", "/Author", "/Subject", "/Producer", "/CreationDate"]]
+    )
+    vals = F.array(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.upper("lang"), F.lit(" Bank"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Statement of Account")),
+        F.col("source"),
+        F.concat(
+            F.lit("D:2024"),
+            F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+            F.lit("01120000"),
+        ),
+    )
+    pdf_meta = F.when(
+        ~no_meta,
+        F.map_filter(F.map_from_arrays(keys, vals), lambda k, v: v.isNotNull()),
+    )
+    docs = d.select("doc_id", pdf_meta.alias("pdf_meta"))
+    out = extract_pdf_metadata(docs)
+    # NULL (absent field) surfaces as '' for the hash compare — tuple sorts
+    # cannot order None; the NULL-vs-set distinction is pinned in
+    # tests/test_validation.py::test_v7_pdf_metadata_parity.
+    return out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit("")).alias(c)
+          for c in ("title", "author", "subject", "producer", "creation_date")],
+    )
+
+
+@q(
     "p3_boilerplate_filter",
     """
     SELECT lang, count(*) AS kept

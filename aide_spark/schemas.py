@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -41,6 +42,10 @@ DOCUMENTS = StructType(
         StructField("password", StringType(), True),
         StructField("encrypted", BooleanType(), True),
         StructField("declared_size_mb", DoubleType(), True),
+        # PDF document-info dictionary, keyed exactly like PdfReader.metadata
+        # ('/Title', '/Author', ... — pdf_validator.py:252-282); null ⇒ the
+        # reader exposed no metadata (the reference's `if pdf_reader.metadata`)
+        StructField("pdf_meta", MapType(StringType(), StringType()), True),
     ]
 )
 

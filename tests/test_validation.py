@@ -104,3 +104,57 @@ def test_v9_static_when_columns_absent(spark):
     df = spark.createDataFrame([Row(error_code="FILE_TOO_LARGE")])
     (r,) = with_error_message(df).collect()
     assert r.error_message == ERROR_MESSAGES["FILE_TOO_LARGE"]
+
+
+def test_v7_pdf_metadata_parity(spark):
+    """V7 — extract_pdf_metadata field-for-field equals the reference's
+    _extract_pdf_metadata (pdf_validator.py:252-282) run on the same
+    document-info dicts (absent dict key == NULL column)."""
+    from aide_spark.generator import corpus
+    from aide_spark.operators.validation import (
+        PDF_META_FIELDS,
+        extract_pdf_metadata,
+    )
+    from tests.reference_oracle import _install_pypdf_stub
+    import sys
+
+    _install_pypdf_stub()
+    if "/root/reference/api" not in sys.path:
+        sys.path.insert(0, "/root/reference/api")
+    from validators.pdf_validator import PDFValidator
+
+    class FakeReader:
+        def __init__(self, meta):
+            self.metadata = meta
+
+    docs = corpus(120)
+    validator = PDFValidator()
+    want = {
+        d["doc_id"]: validator._extract_pdf_metadata(FakeReader(d["pdf_meta"]))
+        for d in docs
+    }
+    from aide_spark.generator import local_corpus_df
+
+    got = {r.doc_id: r for r in extract_pdf_metadata(local_corpus_df(spark, 120)).collect()}
+    assert set(got) == set(want)
+    n_set = 0
+    for doc_id, ref in want.items():
+        for _k, field in PDF_META_FIELDS:
+            assert getattr(got[doc_id], field) == ref.get(field), (doc_id, field)
+            n_set += field in ref
+    assert n_set > 200  # the corpus exercises present keys...
+    # ...and the drop branches: at least one None dict, one empty-string title
+    assert any(d["pdf_meta"] is None for d in docs)
+    assert any((d["pdf_meta"] or {}).get("/Title") == "" for d in docs)
+
+
+def test_v7_distributed_generator_roundtrip(spark):
+    """pdf_meta survives the Arrow mapInPandas path identically to the
+    driver-side corpus (map<string,string> batch shape)."""
+    from aide_spark.generator import local_corpus_df, spark_corpus
+
+    a = local_corpus_df(spark, 40).select("doc_id", "pdf_meta")
+    b = spark_corpus(spark, 40, partitions=3).select("doc_id", "pdf_meta")
+    rows_a = {r.doc_id: r.pdf_meta for r in a.collect()}
+    rows_b = {r.doc_id: r.pdf_meta for r in b.collect()}
+    assert rows_a == rows_b

@@ -1,0 +1,142 @@
+"""Scale-safe near-duplicate candidate generation + verification.
+
+The two LSH stages the 100 TB pipeline composes:
+
+* discovery — :func:`minhash_band_table` + :func:`lsh_candidate_pairs`:
+  bucketed candidate generation, never all-pairs, with hot buckets
+  SUB-SPLIT so no bucket ever goes quadratic (the classic LSH failure
+  mode: one boilerplate-heavy band key collecting millions of docs);
+* verification — :func:`cosine_verify_pairs`: consumes a candidate-pair
+  table through equi-joins only (the plan contains no nested-loop join) —
+  it never generates pairs itself.
+
+Shuffle budget: band table build = one shuffle on doc_id (the signature
+aggregate); pair expansion = one window + one groupBy, both keyed on the
+band (the window count streams — bounded state, no giant array — so a hot
+band occupies one task only for a counting pass); verify = two equi-joins
+on the pair endpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band) — one row per (doc, band key).
+
+    Signatures are computed ONCE per doc as ``n_hashes`` min() AGGREGATES
+    over exploded shingles — the CollapseProject-safe shape (an inline
+    array-expression signature would be re-evaluated per band key;
+    measured 10× slower, see functions/hashing.py note). Band key =
+    md5(band_index | joined signature rows), identical to the DuckDB
+    oracle's formula.
+    """
+    assert n_hashes % n_bands == 0
+    rows = n_hashes // n_bands
+    sh = docs.select(
+        id_col, F.explode(H.word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"h{h}")
+            for h in range(n_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)]),
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_keys).alias("band"))
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket_size: int = 64
+) -> DataFrame:
+    """Intra-bucket pair expansion, bounded: a bucket with more than
+    ``max_bucket_size`` members is sub-split by a secondary hash of the id
+    into ``ceil(n / max_bucket_size)`` sub-buckets BEFORE expansion, so the
+    worst-case output per original bucket is linear in its size
+    (~n/K × K²/2 pairs), never quadratic. Cross-sub-bucket pairs are the
+    sacrificed recall — the standard trade; at 100 TB a hot bucket is
+    boilerplate anyway (near-identical docs stay together under any split
+    of a near-clique, so dedup recall loss is marginal).
+
+    Buckets at test SF sit far below any sane cap, so the DuckDB oracle
+    (which models the uncapped expansion) sees identical pairs.
+    """
+    n = F.count(F.lit(1)).over(Window.partitionBy("band"))
+    n_subs = F.ceil(n / max_bucket_size).cast("int")
+    sub = (
+        F.when(
+            n_subs > 1,
+            F.pmod(F.crc32(F.col(id_col).cast("string")), n_subs),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    buckets = (
+        bands.withColumn("sub", sub)
+        .groupBy("band", "sub")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,  # 2-arg lambda: second variable IS the array index
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+
+
+def cosine_verify_pairs(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Score candidate pairs (d1, d2) by embedding cosine — the verify
+    stage AFTER LSH/IVF discovery. Consumes the pair table through two
+    equi-joins (shuffle on each endpoint); the plan contains no
+    BroadcastNestedLoopJoin/CartesianProduct by construction, unlike a
+    standalone ``a.join(b, v1 < v2)`` which is a cartesian however it is
+    filtered (VERDICT r1)."""
+    ea = embeddings.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("_ea"))
+    eb = embeddings.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("_eb"))
+    out = (
+        candidates.join(ea, "d1")
+        .join(eb, "d2")
+        .select(
+            "d1", "d2", V.cosine(F.col("_ea"), F.col("_eb")).alias("sim")
+        )
+    )
+    if threshold is not None:
+        out = out.where(F.col("sim") > threshold)
+    return out

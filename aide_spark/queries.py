@@ -740,52 +740,19 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle → 8-hash min signature →
-    4 bands of 2 → bucket grouping → intra-bucket pair expansion.
+    4 bands of 2 → bucket grouping → BOUNDED intra-bucket pair expansion.
 
-    Scale shape: signatures are computed ONCE per doc (a band self-join would
-    re-evaluate the whole signature expression on both join sides — Catalyst
-    collapses projections, so "materialize then join" doesn't help), then ONE
-    shuffle on the band key and pair expansion inside each bucket. Hot-bucket
-    quadratic blowup is the classic LSH failure mode — at production scale
-    cap bucket size or sub-split hot buckets; unbounded here (buckets are
-    tiny at test SF and the SQL oracle must see identical pairs)."""
+    Scale shape (operators/dedup.py): signatures computed ONCE per doc as
+    min() aggregates (CollapseProject-safe), ONE shuffle on the band key,
+    and hot buckets sub-split by a secondary id hash before expansion so no
+    bucket ever goes quadratic. Buckets at test SF sit far below the cap,
+    so the uncapped SQL oracle sees identical pairs (the cap's behavior is
+    pinned separately in tests/test_plans.py::test_lsh_hot_bucket_bounded)."""
+    from .operators import dedup as D
+
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    # explode shingles, then MinHash as 8 min() AGGREGATES — the shingle
-    # expression is evaluated once per doc (an array-expression signature
-    # inlined into N band keys is re-evaluated N times after projection
-    # collapse, and the tokenize+shingle transform N*H times)
-    sh = d.select("doc_id", F.explode(H.word_shingles(F.col("text"), 3)).alias("s"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"h{h}")
-            for h in range(8)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.md5(F.concat(F.lit(f"{b}|"), F.col(f"h{2*b}"), F.lit(","), F.col(f"h{2*b+1}")))
-            for b in range(4)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_keys).alias("band"))
-    buckets = bands.groupBy("band").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
-    )
-    ds = F.col("ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .distinct()
-    )
+    bands = D.minhash_band_table(d, n_hashes=8, n_bands=4, shingle_n=3)
+    return D.lsh_candidate_pairs(bands, max_bucket_size=64)
 
 
 @q(
@@ -1022,8 +989,10 @@ def ann_lsh(spark, sf_dir):
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over a bounded window (the verify
-    stage after LSH candidate generation at scale)."""
+    """All-pairs embedding cosine over a BOUNDED window — a brute-force demo
+    only (the `v1 < v2` join is a BroadcastNestedLoopJoin = cartesian by
+    construction). The scale path is `dedup_embedding_verify` below, which
+    consumes a candidate-pair table through equi-joins."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
     a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
@@ -1033,6 +1002,31 @@ def dedup_embedding(spark, sf_dir):
         .where(sim > 0.15)
         .select("v1", "v2", sim.alias("sim"))
     )
+
+
+@q(
+    "dedup_embedding_verify",
+    f"""
+    WITH cand AS (
+      SELECT vec_id AS d1, vec_id + 7 AS d2 FROM embeddings WHERE vec_id < 200)
+    SELECT c.d1, c.d2, {V.duck_cosine('a.embedding', 'b.embedding')} AS sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
+    """,
+)
+def dedup_embedding_verify(spark, sf_dir):
+    """Candidate-pair cosine verification (operators/dedup.py) — the verify
+    stage AFTER LSH/IVF discovery: joins a (d1, d2) pair table to the
+    embeddings by equi-join only; tests/test_plans.py asserts the physical
+    plan contains no nested-loop join."""
+    from .operators.dedup import cosine_verify_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand = e.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("d1"), (F.col("vec_id") + 7).alias("d2")
+    )
+    return cosine_verify_pairs(cand, e)
 
 
 @q(

@@ -93,3 +93,37 @@ def test_skew_repartition_balances_heavy_docs(spark):
     # heavy docs land in dedicated partitions: no single partition carries
     # more than ~60% of total span mass across 8 partitions
     assert max(sizes) / max(sum(sizes), 1) < 0.6, sizes
+
+
+def test_lsh_hot_bucket_bounded(spark):
+    """A synthetic hot bucket (500 identical docs → one band key collects all
+    of them) must be sub-split: pair output grows ~linearly in bucket size,
+    never the quadratic C(500,2)=124750 of uncapped expansion."""
+    from aide_spark.operators import dedup as D
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "'common boilerplate text repeated here always' AS text"
+    )
+    bands = D.minhash_band_table(docs)
+    cap = 16
+    pairs = D.lsh_candidate_pairs(bands, max_bucket_size=cap)
+    n = pairs.count()
+    n_subs = -(-500 // cap)  # ceil
+    worst_per_band = n_subs * (cap + 8) * (cap + 8 - 1) // 2  # slack for hash imbalance
+    assert 0 < n <= 4 * worst_per_band, n
+    # uncapped baseline for contrast
+    uncapped = D.lsh_candidate_pairs(bands, max_bucket_size=1_000_000).count()
+    assert uncapped == 500 * 499 // 2
+    # capped pairs are a SUBSET of the true candidate set
+    assert pairs.exceptAll(
+        D.lsh_candidate_pairs(bands, max_bucket_size=1_000_000)
+    ).count() == 0
+
+
+def test_cosine_verify_no_nested_loop_join(spark):
+    """dedup_embedding_verify consumes candidate pairs via equi-joins — the
+    plan must contain no BroadcastNestedLoopJoin/CartesianProduct."""
+    df = QUERIES["dedup_embedding_verify"][0](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

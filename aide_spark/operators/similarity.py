@@ -40,6 +40,39 @@ def ivf_index(embeddings: DataFrame, k: int = 16, seed: int = 42) -> DataFrame:
     return assigned, centroids_df
 
 
+def fixed_centroid_table(
+    embeddings: DataFrame, every: int = 10, k: int = 8
+) -> DataFrame:
+    """Deterministic coarse quantizer: centroid ``c`` = the embedding of
+    ``vec_id = c*every`` (a literal pick, no training) — the SQL-expressible
+    IVF variant used by the ``ann_ivf_fixed_topk`` driver oracle. The KMeans
+    path (:func:`ivf_index`) gives better cluster balance; this one gives a
+    cross-engine-checkable index with the identical probe/search shape."""
+    return embeddings.where(
+        (F.col("vec_id") % every == 0) & (F.col("vec_id") < every * k)
+    ).select(
+        (F.col("vec_id") / every).cast("int").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    pick argmax cosine per vector with ``max_by`` over a (sim, -cluster)
+    struct — a map-side-combinable aggregate, NOT a window, so assignment
+    scales without shuffling k×N rows ordered per vector. Ties on the
+    rounded cosine break toward the lowest cluster id (both engines)."""
+    joined = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", cosine(F.col("embedding"), F.col("centroid"))
+    )
+    return joined.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by(
+            "cluster", F.struct(F.col("csim"), (-F.col("cluster")).alias("nc"))
+        ).alias("cluster"),
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -56,7 +89,7 @@ def ivf_search(
     q = F.array(*[F.lit(float(x)) for x in query])
     probe = (
         centroids.select("cluster", cosine(F.col("centroid"), q).alias("csim"))
-        .orderBy(F.desc("csim"))
+        .orderBy(F.desc("csim"), "cluster")
         .limit(nprobe)
     )
     return (

@@ -1158,12 +1158,28 @@ def e2e_union_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q("multimodal_decode_stub", None)
+@q(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(1 + cs % 30 AS INT) AS n_frames,
+           round((cs % 1000) / 1000.0, 6) AS feature_0,
+           'stub/v1' AS codec
+    FROM (SELECT doc_id, text,
+                 CAST(coalesce(list_sum(list_transform(
+                       range(1, least(length(text), 256) + 1),
+                       i -> unicode(text[i]))), 0) AS BIGINT) AS cs
+          FROM documents WHERE doc_id < 100) t
+    """,
+)
 def multimodal_stub(spark, sf_dir):
     """Multimodal plumbing: documents as opaque binary + Arrow-batched
     decode/feature-extract via mapInPandas (decode itself is a deterministic
     stand-in — media libs are not in this environment; the Spark-side schema,
-    batching and partitioning are real). See operators/multimodal.py."""
+    batching and partitioning are real). The stub's byte math IS
+    SQL-expressible (first-256-byte checksum over ASCII payloads), so the
+    oracle checks the whole Arrow path end-to-end. See operators/multimodal.py."""
     from .operators.multimodal import decode_features
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -1230,6 +1246,44 @@ def m6_lookahead(spark, sf_dir):
         F.col("c_custkey").alias("account"),
         F.when(to_year.isNotNull(), F.concat(F.lit("31/03/"), to_year)).alias("to_date"),
     )
+
+
+@q(
+    "ann_ivf_fixed_topk",
+    f"""
+    WITH cent AS (
+      SELECT CAST(vec_id / 10 AS INT) AS cluster, embedding AS centroid
+      FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 80),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {V.duck_cosine('e.embedding', 'c.centroid')} DESC,
+                          c.cluster) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    probe AS (
+      SELECT cluster FROM cent CROSS JOIN q
+      ORDER BY {V.duck_cosine('centroid', 'qe')} DESC, cluster LIMIT 4)
+    SELECT vec_id, {V.duck_cosine('embedding', 'qe')} AS sim
+    FROM assigned JOIN probe USING (cluster) CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_fixed_topk(spark, sf_dir):
+    """IVF ANN, fixed-centroid variant (operators/similarity.py): centroids
+    are deterministic literal picks (embedding of every 10th vec_id), so
+    assignment (broadcast + max_by argmax), probe (top-4 centroids) and
+    search (top-10 within probed clusters) are all SQL-expressible — the
+    cross-engine-checkable twin of the KMeans path below."""
+    from .operators.similarity import fixed_centroid_table, ivf_assign, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fixed_centroid_table(emb, every=10, k=8)
+    assigned = ivf_assign(emb, cents)
+    query = emb.where("vec_id = 0").collect()[0].embedding  # ONE row: the query
+    return ivf_search(assigned.where("vec_id != 0"), cents, list(query), nprobe=4, topk=10)
 
 
 @q("ann_ivf_topk", None)

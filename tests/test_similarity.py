@@ -59,3 +59,31 @@ def test_clusters_cover_all_vectors(index):
     n = index["assigned"].count()
     assert index["assigned"].where("cluster IS NOT NULL").count() == n
     assert index["assigned"].select("cluster").distinct().count() <= K
+
+
+def test_fixed_centroid_full_probe_equals_brute_force(spark, index):
+    """The deterministic (oracle-able) IVF variant obeys the same exactness
+    law: probing every cluster == brute force."""
+    from aide_spark.operators.similarity import fixed_centroid_table, ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = fixed_centroid_table(emb, every=10, k=K)
+    assigned = ivf_assign(emb, cents)
+    got = [
+        r.vec_id
+        for r in ivf_search(
+            assigned.where("vec_id != 0"), cents, index["query"], nprobe=K, topk=10
+        ).collect()
+    ]
+    assert got == index["brute"]
+
+
+def test_ivf_assign_plan_is_aggregate_not_window(spark):
+    """Assignment must be the map-side-combinable max_by aggregate (partial
+    aggregation before the shuffle), not a per-vector window sort."""
+    from aide_spark.operators.similarity import fixed_centroid_table, ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = ivf_assign(emb, fixed_centroid_table(emb))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan

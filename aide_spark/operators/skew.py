@@ -27,8 +27,11 @@ def repartition_by_span_count(
     docs: DataFrame, num_partitions: int, heavy_threshold: int = 2000
 ) -> DataFrame:
     """Balance narrow per-doc compute: hash-partition light docs; round-robin
-    the heavy tail so no two heavy docs share a partition while heavy docs
-    are fewer than partitions.
+    the heavy tail by RANGE on the round-robin id — distinct ids land in
+    distinct ranges, so heavy docs spread across partitions (hash
+    partitioning pmod(hash(_p), n) is NOT a bijection on 0..n-1 and could
+    still co-locate two heavy docs). Range boundaries come from sampling, so
+    the spread is near-perfect rather than guaranteed one-per-partition.
 
     The heavy branch uses a global row_number (single-task) — acceptable
     precisely because heavy docs are rare by definition; if they are not,
@@ -42,7 +45,7 @@ def repartition_by_span_count(
     ) % num_partitions
     heavy_rr = (
         heavy.withColumn("_p", rr)
-        .repartition(num_partitions, "_p")
+        .repartitionByRange(num_partitions, "_p")
         .drop("_p")
     )
     return light.unionByName(heavy_rr)

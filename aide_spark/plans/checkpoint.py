@@ -52,6 +52,10 @@ class SnapshotStore:
             if f.endswith(".json"):
                 with open(os.path.join(self.commits_dir, f)) as fh:
                     out.append(json.load(fh))
+        # commit-time order, NOT filename order: batch ids are heterogeneous
+        # (timestamp-prefixed runs vs 'stream-<n>' streaming commits), so
+        # lexicographic filename order would interleave them wrongly
+        out.sort(key=lambda c: c["ts"])
         return out
 
     def commit(self, batch_id: str, stats: dict) -> None:
@@ -77,12 +81,22 @@ class SnapshotStore:
     ) -> DataFrame | None:
         """Snapshot read of committed batches; ``as_of`` time-travels to the
         state as of that batch id (inclusive) — Iceberg snapshot-read
-        semantics on the parquet fallback."""
+        semantics on the parquet fallback.
+
+        Time travel compares COMMIT TIMESTAMPS, not batch-id strings: ids
+        are heterogeneous ('stream-<n>' vs timestamp-prefixed) and do not
+        order lexicographically. Unknown ``as_of`` raises KeyError."""
+        commits = self.committed()
+        if as_of is not None:
+            by_id = {c["batch_id"]: c["ts"] for c in commits}
+            if as_of not in by_id:
+                raise KeyError(f"unknown batch_id for as_of: {as_of!r}")
+            cutoff = by_id[as_of]
+            commits = [c for c in commits if c["ts"] <= cutoff]
         paths = [
             self._batch_path(table, c["batch_id"])
-            for c in self.committed()
-            if (as_of is None or c["batch_id"] <= as_of)
-            and os.path.exists(self._batch_path(table, c["batch_id"]))
+            for c in commits
+            if os.path.exists(self._batch_path(table, c["batch_id"]))
         ]
         if not paths:
             return None
@@ -130,10 +144,13 @@ def run_with_resume(
     )
     store.stage(lineage, "lineage", batch_id)
 
-    # per-partition metrics from the staged spans (read-back is metadata-cheap)
-    staged = spark.read.parquet(spans_path)
+    # per-partition metrics computed on the PRODUCING plan (same persisted
+    # boundary the write consumed), so partition_id reflects the partitions
+    # that actually built the batch — a read-back groupBy would instead
+    # describe parquet split planning (file sizes / maxPartitionBytes)
     metrics = (
-        staged.groupBy(F.spark_partition_id().alias("partition_id"))
+        out["spans_out"]
+        .groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.countDistinct("doc_id").alias("docs"),
             F.count(F.lit(1)).alias("spans"),
@@ -141,6 +158,7 @@ def run_with_resume(
         .withColumn("batch_id", F.lit(batch_id))
     )
     store.stage(metrics, "metrics", batch_id)
+    staged = spark.read.parquet(spans_path)
 
     n_docs = pending.count()
     n_spans = staged.count()

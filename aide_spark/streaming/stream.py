@@ -102,17 +102,24 @@ def classify_balance_stream(txns_stream: DataFrame) -> DataFrame:
     def classify(key, pdfs, state: GroupState):
         (account,) = key
         prev = state.get[0] if state.exists else 0.0
+        # a group's rows may span several Arrow chunks within one micro-batch:
+        # concat FIRST, sort once globally by event_id — per-chunk sorting
+        # would apply state in chunk order and misclassify across boundaries
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("event_id")
+            if chunks
+            else pd.DataFrame(columns=["account", "event_id", "balance"])
+        )
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
-            for _, r in pdf.iterrows():
-                bal = float(r["balance"])
-                change = bal - prev
-                rows.append(
-                    (int(account), int(r["event_id"]), bal,
-                     "Debit" if change < 0 else "Credit")
-                )
-                prev = bal
+        for _, r in pdf.iterrows():
+            bal = float(r["balance"])
+            change = bal - prev
+            rows.append(
+                (int(account), int(r["event_id"]), bal,
+                 "Debit" if change < 0 else "Credit")
+            )
+            prev = bal
         state.update((prev,))
         yield pd.DataFrame(rows, columns=["account", "event_id", "balance", "txn_type"])
 

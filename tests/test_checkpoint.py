@@ -99,3 +99,25 @@ def test_snapshot_time_travel(spark, store):
     at_b1 = store.read(spark, "spans", as_of="b1").count()
     assert 0 < at_b1 < full
     assert store.read(spark, "lineage", as_of="b1").count() == half.count()
+
+
+def test_time_travel_with_mixed_batch_id_styles(spark, store, tmp_path):
+    """as_of must order by commit TIME: 'stream-<n>' ids sort lexicographically
+    after timestamp-prefixed ids, so string comparison would wrongly include a
+    LATER timestamped batch in an as_of='stream-0' snapshot."""
+    import pytest
+
+    from aide_spark.plans.checkpoint import SnapshotStore
+
+    s = SnapshotStore(str(tmp_path / "mixed"))
+    docs = local_corpus_df(spark, 16)
+    a = docs.where("doc_id RLIKE '0$'")
+    b = docs.where("doc_id RLIKE '1$'")
+    run_with_resume(spark, a, s, batch_id="stream-0")       # committed FIRST
+    run_with_resume(spark, b, s, batch_id="20991231000000-zzz")  # later wall time
+    at_stream0 = s.read(spark, "lineage", as_of="stream-0")
+    assert {r.batch_id for r in at_stream0.select("batch_id").distinct().collect()} == {
+        "stream-0"
+    }
+    with pytest.raises(KeyError):
+        s.read(spark, "lineage", as_of="nonexistent")

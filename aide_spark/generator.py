@@ -197,10 +197,25 @@ def _apgvb_doc(rng: random.Random, doc_id: str) -> list[tuple]:
         desc = rng.choice(_APGVB_DESC)
         if rng.random() < 0.4:
             desc = f"UPI/{'D' if is_debit else 'C'}/{rng.randrange(10**5, 10**6)}/{rng.choice(_MERCHANTS)}/APGB/{rng.randrange(100, 999)}/P"
-        b.text(
-            f"{date} {date} {desc}   {amt:,.2f}   {balance:,.2f}Cr "
-            f"USER{rng.randrange(100, 999)} USER{rng.randrange(100, 999)}"
-        )
+        users = f"USER{rng.randrange(100, 999)} USER{rng.randrange(100, 999)}"
+        la = rng.random()
+        if la < 0.75:
+            # amounts on the start line (offset 0 — the dominant layout)
+            b.text(f"{date} {date} {desc}   {amt:,.2f}   {balance:,.2f}Cr {users}")
+        else:
+            # amounts on a LOOKAHEAD line (apgvb:836-852 scans up to 3 ahead;
+            # apgvb:696 then consumes i += offset+1)
+            b.text(f"{date} {date} {desc}")
+            if la < 0.80:
+                b.text("")      # skipped-but-counted filler (offset grows)
+            elif la < 0.85:
+                b.text("----------------")
+            if la < 0.90:
+                # adversarial: the amount line itself matches the START
+                # regex — consumption must stop it parsing as its own txn
+                b.text(f"{date} {date} CONT {amt:,.2f}   {balance:,.2f}Cr {users}")
+            else:
+                b.text(f"{amt:,.2f}   {balance:,.2f}Cr {users}")
         if n % 9 == 0 and n < n_txn:
             b.page_break()
             b.text("GL. Date Value Date Particulars Debit Amount Credit Amount Balance")

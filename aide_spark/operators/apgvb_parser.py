@@ -11,10 +11,14 @@ behavior (first record compares against 0.0, apgvb:821-824).
 Amount search scans the start line plus up to 3 following raw page lines,
 skipping empty/'---' lines, for the first line carrying the balance pattern
 ``([\\d,]+\\.?\\d*)Cr\\s+`` with a clean amount before it (apgvb:833-892) —
-mapped to a lead-line candidate array. Transactions whose amounts are found
-on a lookahead line consume those lines in the reference (i += offset+1);
-the synthesized corpus keeps amounts on the start line (offset 0), where the
-two scans coincide (fidelity envelope, SURVEY.md §7).
+mapped to a lead-line candidate array. Transactions whose amounts land on a
+lookahead line CONSUME those lines (apgvb:696: ``i += offset+1``): a
+consumed line never re-parses as a transaction start. That sequential
+consumption is reproduced with a per-page left fold (``F.aggregate``) over
+the start candidates — state is (next allowed line index, accepted offsets);
+pages are bounded (≤ a few hundred lines), so the fold is a cheap array
+expression, and when every hit is at offset 0 (the common corpus) it
+accepts everything, matching the plain window scan.
 """
 
 from __future__ import annotations
@@ -66,32 +70,79 @@ def transactions(lines: DataFrame) -> DataFrame:
     is_start = ~_skip(line) & line.rlike(START_RE)
     w_page = Window.partitionBy("doc_id", "page").orderBy("off")
 
-    df = lines.withColumn(
-        "cands",
-        F.array(
-            line,
-            F.lead("line", 1).over(w_page),
-            F.lead("line", 2).over(w_page),
-            F.lead("line", 3).over(w_page),
-        ),
-    ).where(is_start)
+    df = (
+        lines.withColumn("idx", F.row_number().over(w_page) - 1)  # reference's i
+        .withColumn(
+            "cands",
+            F.array(
+                line,
+                F.lead("line", 1).over(w_page),
+                F.lead("line", 2).over(w_page),
+                F.lead("line", 3).over(w_page),
+            ),
+        )
+        .where(is_start)
+    )
 
     # first candidate line carrying both the balance pattern and a clean
-    # amount before it (apgvb:833-854: skip empty/'---', else continue)
-    usable = F.filter(
-        F.col("cands"),
-        lambda c: c.isNotNull()
-        & (c != "")
-        & ~c.startswith("---")
-        & (F.regexp_extract(c, BAL_CAP_RE, 1) != "")
-        & _clean_numeric_last(py_strip(F.element_at(F.split(c, BAL_RE), 1))).isNotNull(),
-    )
-    hit = F.try_element_at(usable, F.lit(1))
+    # amount before it (apgvb:833-854: skip empty/'---', else continue);
+    # hit_idx is the reference's `offset` — the raw lines-ahead count
+    def _usable(c: Column) -> Column:
+        return (
+            c.isNotNull()
+            & (c != "")
+            & ~c.startswith("---")
+            & (F.regexp_extract(c, BAL_CAP_RE, 1) != "")
+            & _clean_numeric_last(py_strip(F.element_at(F.split(c, BAL_RE), 1))).isNotNull()
+        )
 
-    before = py_strip(F.element_at(F.split(hit, BAL_RE), 1))
+    hit_idx = F.try_element_at(
+        F.filter(
+            F.transform(F.col("cands"), lambda c, i: F.when(_usable(c), i)),
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(1),
+    )
+    df = df.withColumn("hit_idx", hit_idx).withColumn(
+        "hit", F.try_element_at("cands", F.col("hit_idx") + 1)
+    )
+
+    # lookahead CONSUMPTION (apgvb:696 `i += offset+1`): per-page fold over
+    # start candidates in line order — accept a start only if its line index
+    # is past the previous accepted start's consumed range
+    keep = (
+        df.groupBy("doc_id", "page")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx"), F.col("hit_idx"), F.col("off")))
+            ).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.aggregate(
+                    "ss",
+                    F.struct(
+                        F.lit(0).alias("nxt"),
+                        F.array().cast("array<int>").alias("keep"),
+                    ),
+                    lambda acc, s: F.when(
+                        (s["idx"] >= acc["nxt"]) & s["hit_idx"].isNotNull(),
+                        F.struct(
+                            (s["idx"] + s["hit_idx"] + 1).alias("nxt"),
+                            F.concat(acc["keep"], F.array(s["off"])).alias("keep"),
+                        ),
+                    ).otherwise(acc),
+                    lambda acc: acc["keep"],
+                )
+            ).alias("off"),
+        )
+    )
+
+    before = py_strip(F.element_at(F.split(F.col("hit"), BAL_RE), 1))
     parsed = (
-        df.withColumn("hit", hit)
-        .where(F.col("hit").isNotNull())
+        df.where(F.col("hit").isNotNull())
+        .join(keep, ["doc_id", "off"], "left_semi")
         .withColumn(
             "bal_num",
             F.regexp_replace(F.regexp_extract("hit", BAL_CAP_RE, 1), ",", "").cast("double"),

@@ -627,6 +627,63 @@ def scalar_clean(spark, sf_dir):
     )
 
 
+_S6_CLEAN = r"\s*\(?\s*(DR|dr|Dr|De|DE|de|CR|cr|Cr)\s*\)?\s*"
+
+
+@q(
+    "s6_workbook_view",
+    f"""
+    WITH t AS (
+      SELECT o_custkey AS doc_id,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS ord,
+             strftime(o_orderdate, '%d/%m/%Y') AS d,
+             o_orderpriority AS description,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN concat(printf('%.2f', o_totalprice), ' (Dr)') ELSE '' END AS debit_raw,
+             CASE WHEN o_orderstatus <> 'F'
+                  THEN concat(printf('%.2f', o_totalprice), ' (Cr)') ELSE '' END AS credit_raw,
+             concat(printf('%.2f', o_totalprice), 'Cr') AS bal_raw
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT doc_id, CAST(ord + 1 AS INT) AS row_num,
+           replace(d, '/', '-') AS txn_date,
+           replace(d, '/', '-') AS value_date,
+           description,
+           regexp_replace(debit_raw, '{_S6_CLEAN}', '', 'g') AS debit,
+           regexp_replace(credit_raw, '{_S6_CLEAN}', '', 'g') AS credit,
+           regexp_replace(bal_raw, '{_S6_CLEAN}', '', 'g') AS balance,
+           regexp_replace(debit_raw, '{_S6_CLEAN}', '', 'g') <> '' AS debit_red,
+           regexp_replace(credit_raw, '{_S6_CLEAN}', '', 'g') <> '' AS credit_green
+    FROM t
+    """,
+)
+def s6_workbook_view(spark, sf_dir):
+    """S6 — the Excel worksheet as data rows (excel_formatter.py:65-162):
+    construct TRANSACTIONS_OUT-shaped rows from orders, run the real
+    workbook_view operator (display formatting, empty-cell branch, font
+    flags); the oracle recomputes every cell directly."""
+    from .operators.formatters import workbook_view
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    amt = F.format_string("%.2f", F.col("o_totalprice"))
+    txns = o.select(
+        F.col("o_custkey").alias("doc_id"),
+        F.row_number().over(w).cast("int").alias("order"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("Date"),
+        F.col("o_orderpriority").alias("Remarks"),
+        F.when(F.col("o_orderstatus") == "F", F.concat(amt, F.lit(" (Dr)")))
+        .otherwise(F.lit(""))
+        .alias("Debit"),
+        F.when(F.col("o_orderstatus") != "F", F.concat(amt, F.lit(" (Cr)")))
+        .otherwise(F.lit(""))
+        .alias("Credit"),
+        F.concat(amt, F.lit("Cr")).alias("Balance"),
+        F.lit(None).cast("string").alias("Amount"),
+        F.lit("").alias("Transaction_Type"),
+    )
+    return workbook_view(txns)
+
+
 @q(
     "j1_dispatch_by_dimension",
     """

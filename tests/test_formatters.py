@@ -73,3 +73,94 @@ def test_py_float_str_matches_python(spark):
     rows = df.select("v", py_float_str(F.col("v")).alias("s")).collect()
     for r in rows:
         assert r.s == str(r.v), (r.v, r.s)
+
+
+def test_workbook_view_matches_reference_cells(spark):
+    """S6 — workbook_view rows carry exactly the cell values the reference's
+    create_excel_workbook writes (format_transaction_for_display + the
+    `value if value else ''` branch), checked on real pipeline output."""
+    from aide_spark.operators.formatters import workbook_view
+
+    _import_reference()
+    from formatters.transaction_formatter import format_transaction_for_display
+
+    docs = local_corpus_df(spark, 24)
+    txns = pipeline.run(docs)["transactions"]
+    got = {(r.doc_id, r.row_num): r for r in workbook_view(txns).collect()}
+    checked = 0
+    for d in corpus(24):
+        if d["bank_id"] is None or (
+            d["doc_id"].startswith("BAD-")
+            and not d["doc_id"].startswith(("BAD-HYBRID", "BAD-ENCRYPTEDOK"))
+        ):
+            continue
+        result = run_reference(d["bank_id"], spans_to_pages(d["spans"]))
+        for i, txn in enumerate(result.get("transactions") or []):
+            f = format_transaction_for_display(txn)
+            r = got[(d["doc_id"], i + 2)]  # row 1 is the header
+            assert r.txn_date == f["txn_date"]
+            assert r.value_date == f["value_date"]
+            assert r.description == f["description"]
+            assert r.debit == (f["debit"] if f["debit"] else "")
+            assert r.credit == (f["credit"] if f["credit"] else "")
+            assert r.balance == f["balance"]
+            assert r.debit_red == bool(f["debit"])
+            assert r.credit_green == bool(f["credit"])
+            checked += 1
+    assert checked > 50
+
+
+def test_statement_filename_matches_reference(spark):
+    """S6 — statement_filename byte-equals get_statement_filename
+    (excel_formatter.py:13-63) across every branch: full metadata, short
+    account, unparseable dates (fallback replace), no period (today), no
+    metadata (job-id fallback)."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.operators.formatters import statement_filename
+
+    _import_reference()
+    from formatters.excel_formatter import get_statement_filename
+
+    metas = [
+        {"bank_name": "Union Bank of India", "account_number": "123456789012",
+         "statement_period": {"from_date": "01/04/2024", "to_date": "31/03/2025"}},
+        {"bank_name": "Canara Bank!", "account_number": "981",
+         "statement_period": {"from_date": "5/3/2024", "to_date": "7/11/2024"}},
+        {"bank_name": "A.P. Grameena  Bank", "account_number": "55554444",
+         "statement_period": {"from_date": "31/31/2024", "to_date": "01/01/2025"}},
+        {"bank_name": "Union Bank", "account_number": "",
+         "statement_period": {"from_date": "", "to_date": ""}},
+        None,
+    ]
+    import datetime as _dt
+
+    today = _dt.date.today()
+    rows = [
+        (i, None if m is None else {
+            "bank_name": m["bank_name"],
+            "account_number": m["account_number"],
+            "statement_period": (m["statement_period"]["from_date"],
+                                 m["statement_period"]["to_date"]),
+        }) for i, m in enumerate(metas)
+    ]
+    schema = ("i int, meta struct<bank_name:string, account_number:string, "
+              "statement_period:struct<from_date:string,to_date:string>>")
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.i: r.fn
+        for r in df.select(
+            "i",
+            statement_filename(
+                F.col("meta"), F.concat(F.lit("job"), F.col("i").cast("string")),
+                today=F.lit(str(today)).cast("date"),
+            ).alias("fn"),
+        ).collect()
+    }
+    for i, m in enumerate(metas):
+        want = get_statement_filename(m if m is not None else None, f"job{i}")
+        if m is None:
+            # reference raises inside try (None.get) -> fallback path
+            assert got[i] == f"bank_statement_job{i}.xlsx", got[i]
+        else:
+            assert got[i] == want, (i, got[i], want)

@@ -8,11 +8,12 @@ Two decoders:
   container framing (utf-8 text; ``\\f`` lines delimit pages; ``\\x01MEDIA ``
   lines carry media refs). :func:`encode_spans` is its inverse, so the path
   round-trips: spans → bytes → spans.
-* :func:`decode_pdf` — the PDF-codec slot. A real deployment drops pdfminer/
-  pypdf-style content-stream tokenization in here; this environment has no
-  PDF libraries, so it raises ``NotImplementedError`` with the integration
-  point documented. The Spark-side plumbing (binaryFile scan → mapInPandas →
-  spans schema) is identical for both and is what the engine exercises.
+* :func:`decode_pdf` — REAL raw-PDF tokenization via the from-scratch codec
+  in :mod:`aide_spark.sources.pdf_codec` (object scan → page tree →
+  FlateDecode → text/XObject operators), no PDF library required. Returns
+  ``None`` for undecodable payloads — the validator then quarantines them
+  as CORRUPTED, matching the reference's magic-bytes/structure failure path
+  (pdf_validator.py:44-58).
 """
 
 from __future__ import annotations
@@ -61,15 +62,14 @@ def decode_container(payload: bytes) -> list[dict] | None:
 
 
 def decode_pdf(payload: bytes) -> list[dict] | None:
-    """PDF byte-stream → spans. STUB: requires a PDF library (pypdf/pdfminer)
-    absent from this environment. Integration point: replace the raise with
-    page-text extraction + per-line span emission exactly like
-    :func:`decode_container` (pages → PAGE_BREAK spans, images → media spans
-    with deterministic refs)."""
-    raise NotImplementedError(
-        "PDF codec not available in this environment; plug a pypdf/pdfminer "
-        "extractor here — the Spark plumbing (ingest_binary) is codec-agnostic."
-    )
+    """Raw PDF byte-stream → spans (None ⇒ quarantine). Implemented from
+    scratch in :mod:`aide_spark.sources.pdf_codec` — the north-star's
+    "tokenize raw PDF byte streams" without any PDF library; round-trip
+    against :func:`pdf_codec.encode_pdf` is property-tested over the whole
+    generator corpus (tests/test_binary_ingest.py)."""
+    from .pdf_codec import decode_pdf_bytes
+
+    return decode_pdf_bytes(payload)
 
 
 def ingest_binary(

@@ -129,6 +129,8 @@ def _union_doc(rng: random.Random, doc_id: str, hybrid: bool = False) -> list[tu
             if hybrid:
                 b.media(f"img://{doc_id}/{n // 10 + 1}/scanstamp")
             b.text("S.No Date Transaction Id Remarks Amount(Rs.) Balance(Rs.)")
+    if rng.random() < 0.08:
+        b.page_break()  # empty trailing page (envelope case: '' page text)
     return b.spans
 
 
@@ -166,6 +168,8 @@ def _canara_doc(rng: random.Random, doc_id: str) -> list[tuple]:
         if n % 8 == 0 and n < n_txn:
             b.page_break()
             b.text("Date Particulars Deposits Withdrawals Balance")
+    if rng.random() < 0.08:
+        b.page_break()  # empty trailing page (envelope case: '' page text)
     return b.spans
 
 
@@ -181,6 +185,13 @@ def _apgvb_doc(rng: random.Random, doc_id: str) -> list[tuple]:
     b.text("--------------------------------------------------------------")
     b.text("GL. Date Value Date Particulars Debit Amount Credit Amount Balance")
     b.text("--------------------------------------------------------------")
+
+    if rng.random() < 0.1:
+        # an EMPTY page 2 (envelope case): the reference's two-page metadata
+        # assembly sees a '' page text; probes must behave identically
+        b.page_break()
+        b.page_break()
+        b.text("GL. Date Value Date Particulars Debit Amount Credit Amount Balance")
 
     n_txn = rng.randrange(4, 20)
     # the reference classifier compares the first record's balance against
@@ -219,6 +230,8 @@ def _apgvb_doc(rng: random.Random, doc_id: str) -> list[tuple]:
         if n % 9 == 0 and n < n_txn:
             b.page_break()
             b.text("GL. Date Value Date Particulars Debit Amount Credit Amount Balance")
+    if rng.random() < 0.08:
+        b.page_break()  # empty trailing page (envelope case: '' page text)
     return b.spans
 
 

@@ -122,9 +122,12 @@ def head_lines_table(lines: DataFrame, two_pages: bool = False) -> DataFrame:
 
     ``two_pages=True`` mirrors APGVB's ``page1+'\\n'+page2+'\\n'`` assembly
     (apgvb_extractor.py:491-496): lines of pages 1-2 plus one trailing ''
-    from the final newline. (Envelope: an empty page among the first two
-    would contribute one '' line in the reference's split that the line
-    table cannot see — the synthesized corpus has none.)
+    from the final newline. An empty page among the first two contributes
+    one extra '' line in the reference's split that the line table cannot
+    see — INERT by construction: every metadata probe requires non-empty
+    content, so '' lines match nothing. Closed by evidence: the generator
+    emits empty-page-2 APGVB docs (~10%) and empty trailing pages (~8%),
+    and span parity stays green (tests/test_parity.py).
     """
     pages = 2 if two_pages else 1
     grouped = (

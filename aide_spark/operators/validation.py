@@ -110,6 +110,40 @@ def _res(is_valid: bool, pdf_type: str, error_code: str, confidence: float):
     )
 
 
+BANK_IDENTIFIERS = {  # apgvb_extractor.py:403-439 (V8; only APGVB defines them)
+    "APGVB": ["andhra pradesh grameena", "a.p. grameena", "ap grameena", "apgvb"],
+}
+
+
+def validate_pdf_content(
+    docs: DataFrame, identifiers: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """V8 — first-page content check (``_validate_pdf_content``,
+    apgvb_extractor.py:132-168): ``content_ok`` = the first page has >= 10
+    characters after a full ``strip()``; ``has_bank_indicator`` = any
+    configured identifier appears (case-insensitive substring) in the
+    first-page text, NULL when the bank defines no identifiers — the check
+    is skipped, matching the reference's ``if bank_identifiers:``. The
+    indicator is WARNING-only in the reference (logger.warning, no raise) —
+    surfaced here as a flag column, never a gate. Identifier lists join in
+    as a broadcast dimension (config-driven, apgvb:412-428)."""
+    rows = [(b, ids) for b, ids in (identifiers or BANK_IDENTIFIERS).items()]
+    ids_df = docs.sparkSession.createDataFrame(
+        rows, "bank_id string, identifiers array<string>"
+    )
+    fp = F.lower(
+        F.coalesce(F.try_element_at(pages_col(F.col("spans")), F.lit(1)), F.lit(""))
+    )
+    return docs.join(F.broadcast(ids_df), "bank_id", "left").select(
+        "doc_id",
+        (F.length(F.regexp_replace(fp, r"^\s+|\s+$", "")) >= 10).alias("content_ok"),
+        F.when(
+            F.col("identifiers").isNotNull(),
+            F.exists("identifiers", lambda i: fp.contains(F.lower(i))),
+        ).alias("has_bank_indicator"),
+    )
+
+
 # (PdfReader.metadata key, output field) — pdf_validator.py:258-264,270-273
 PDF_META_FIELDS = [
     ("/Title", "title"),

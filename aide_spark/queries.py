@@ -218,6 +218,39 @@ def v6(spark, sf_dir):
 
 
 @q(
+    "v8_content_check",
+    """
+    SELECT doc_id,
+           length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) >= 10 AS content_ok,
+           (contains(lower(text), 'lorem') OR contains(lower(text), 'data'))
+               AS has_bank_indicator
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def v8(spark, sf_dir):
+    """V8 — bank-identifier content check (_validate_pdf_content,
+    apgvb_extractor.py:132-168) driven through the real operator: wrap each
+    document's text as a one-page span doc, configure two identifiers, and
+    compare the content-length gate + case-insensitive indicator flags."""
+    from .operators.validation import validate_pdf_content
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = d.select(
+        "doc_id",
+        F.lit("X").alias("bank_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return validate_pdf_content(docs, identifiers={"X": ["lorem", "DATA"]})
+
+
+@q(
     "v7_doc_metadata",
     """
     SELECT doc_id,

@@ -158,3 +158,57 @@ def test_v7_distributed_generator_roundtrip(spark):
     rows_a = {r.doc_id: r.pdf_meta for r in a.collect()}
     rows_b = {r.doc_id: r.pdf_meta for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_v8_content_check_parity(spark):
+    """V8 — content_ok mirrors _validate_pdf_content's raise/no-raise on the
+    same first-page text (apgvb_extractor.py:132-168); has_bank_indicator
+    mirrors its any()-substring warning condition, NULL when the bank
+    defines no identifiers."""
+    import sys
+
+    from aide_spark.operators.validation import validate_pdf_content
+    from tests.reference_oracle import FakePage, _install_pypdf_stub
+
+    _install_pypdf_stub()
+    if "/root/reference/api" not in sys.path:
+        sys.path.insert(0, "/root/reference/api")
+    from extractors.apgvb_extractor import _validate_pdf_content
+
+    class R:
+        def __init__(self, text):
+            self.pages = [FakePage(text)]
+
+    ids = ["andhra pradesh grameena", "apgvb"]
+    cases = [
+        ("Statement of APGVB account 1234567890", "APGVB"),
+        ("Andhra Pradesh Grameena Bank ledger page", "APGVB"),
+        ("Some other bank entirely, long enough text", "APGVB"),
+        ("short", "APGVB"),              # < 10 stripped chars -> not ok
+        ("   padded      ", "APGVB"),    # strip() matters
+        ("No identifiers configured for this bank", "UNION"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (str(i), b, [("text", t, "", 0)])
+            for i, (t, b) in enumerate(cases)
+        ],
+        "doc_id string, bank_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        r.doc_id: r
+        for r in validate_pdf_content(docs, {"APGVB": ids}).collect()
+    }
+    for i, (text, bank) in enumerate(cases):
+        r = got[str(i)]
+        try:
+            _validate_pdf_content(R(text), ids if bank == "APGVB" else None)
+            ref_ok = True
+        except ValueError:
+            ref_ok = False
+        assert r.content_ok == ref_ok, (i, text)
+        if bank == "APGVB":
+            assert r.has_bank_indicator == any(x in text.lower() for x in ids), i
+        else:
+            assert r.has_bank_indicator is None, i

@@ -27,25 +27,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..generator import CORRECT_PASSWORD
-from .lines import head_text_col, media_in_first_pages, pages_col
+from .lines import media_in_first_pages, pages_col
 
 MAX_PAGES = 200          # pdf_validator.py:29
 MAX_FILE_SIZE_MB = 25    # pdf_validator.py:30
 MIN_TEXT_LENGTH = 100    # pdf_validator.py:31
 
 
-def validation_struct():
-    """The whole V1-V10 ladder as ONE struct-valued expression over the
-    documents columns — callers attach it with ``withColumn`` and filter on
-    ``is_valid`` directly, so the valid/quarantine split is a narrow filter,
-    never a join back to the docs table."""
+VALIDATION_COLS = [
+    "is_valid", "pdf_type", "error_code", "confidence_score",
+    "page_count", "text_length",
+]
+
+
+def with_validation(docs: DataFrame) -> DataFrame:
+    """docs + the six validation columns, computed in STAGED projections so
+    the heavy span-array expressions (page split, first-5-pages text, media
+    fold) are evaluated ONCE per doc. A single struct-valued when-ladder
+    would be copied into every consumer by Catalyst's
+    ``GetStructField(CreateNamedStruct)`` simplification — measured 18 page-
+    split evaluations per doc (~20% of pipeline CPU). Spark >=3.3 refuses to
+    collapse projections that would duplicate non-cheap expressions, so the
+    explicit staging below sticks; the fail-fast ``when`` ladders
+    (pdf_validator.py:44-73's cheapest-first predicate order) then run over
+    plain scalar columns."""
     spans = F.col("spans")
-    pages = pages_col(spans)
-    page_count = F.when(F.size(spans) <= 0, F.lit(0)).otherwise(F.size(pages))
-    # total_text = ''.join(first 5 page texts); length of Python-strip()ped text
-    text5 = head_text_col(spans, 5)
-    text_length = F.length(F.regexp_replace(text5, r"^\s+|\s+$", ""))
-    has_media = media_in_first_pages(spans, 5)
+    staged = docs.withColumns(
+        {
+            "_pages": pages_col(spans),
+            "_media": media_in_first_pages(spans, 5),
+        }
+    )
+    # total_text = ''.join(first 5 page texts); Python-strip()ped length
+    text5 = F.array_join(F.slice("_pages", 1, 5), "")
+    staged = staged.withColumns(
+        {
+            "page_count": F.when(F.size(spans) <= 0, F.lit(0))
+            .otherwise(F.size("_pages"))
+            .cast("int"),
+            "text_length": F.length(
+                F.regexp_replace(text5, r"^\s+|\s+$", "")
+            ).cast("int"),
+        }
+    )
 
     wrong_pw = (
         F.col("encrypted")
@@ -53,61 +77,38 @@ def validation_struct():
         & (F.col("password") != CORRECT_PASSWORD)
         & (F.trim(F.col("password")) != CORRECT_PASSWORD)  # trimmed retry (V4)
     )
+    conds = [  # (condition, is_valid, pdf_type, error_code, confidence)
+        (spans.isNull(), False, "invalid", "CORRUPTED", 0.0),
+        (F.col("declared_size_mb") > MAX_FILE_SIZE_MB, False, "invalid", "FILE_TOO_LARGE", 0.0),
+        (F.col("encrypted") & F.col("password").isNull(), False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
+        (wrong_pw, False, "invalid", "WRONG_PASSWORD", 0.0),
+        (F.col("page_count") == 0, False, "invalid", "EMPTY_PDF", 0.0),
+        (F.col("page_count") > MAX_PAGES, False, "invalid", "TOO_MANY_PAGES", 0.0),
+        ((F.col("text_length") < MIN_TEXT_LENGTH) & F.col("_media"), False, "scanned", "NO_TEXT_CONTENT", 0.3),
+        (F.col("text_length") < MIN_TEXT_LENGTH, True, "invalid", "VALID", 1.0),  # INVALID-yet-valid quirk
+        (F.col("_media"), True, "hybrid", "VALID", 1.0),
+    ]
 
-    result = F.when(
-        spans.isNull(),
-        _res(False, "invalid", "CORRUPTED", 0.0),
-    ).when(
-        F.col("declared_size_mb") > MAX_FILE_SIZE_MB,
-        _res(False, "invalid", "FILE_TOO_LARGE", 0.0),
-    ).when(
-        F.col("encrypted") & F.col("password").isNull(),
-        _res(False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
-    ).when(
-        wrong_pw,
-        _res(False, "invalid", "WRONG_PASSWORD", 0.0),
-    ).when(
-        page_count == 0,
-        _res(False, "invalid", "EMPTY_PDF", 0.0),
-    ).when(
-        page_count > MAX_PAGES,
-        _res(False, "invalid", "TOO_MANY_PAGES", 0.0),
-    ).when(
-        (text_length < MIN_TEXT_LENGTH) & has_media,
-        _res(False, "scanned", "NO_TEXT_CONTENT", 0.3),
-    ).when(
-        text_length < MIN_TEXT_LENGTH,  # the INVALID-yet-valid quirk
-        _res(True, "invalid", "VALID", 1.0),
-    ).when(
-        has_media,
-        _res(True, "hybrid", "VALID", 1.0),
-    ).otherwise(
-        _res(True, "text", "VALID", 1.0)
-    )
+    def ladder(pick, default):
+        out = None
+        for cond, iv, pt, ec, cs in conds:
+            val = F.lit(pick(iv, pt, ec, cs))
+            out = F.when(cond, val) if out is None else out.when(cond, val)
+        return out.otherwise(F.lit(default))
 
-    return F.struct(
-        result.getField("is_valid").alias("is_valid"),
-        result.getField("pdf_type").alias("pdf_type"),
-        result.getField("error_code").alias("error_code"),
-        result.getField("confidence_score").alias("confidence_score"),
-        page_count.cast("int").alias("page_count"),
-        text_length.cast("int").alias("text_length"),
-    )
+    return staged.withColumns(
+        {
+            "is_valid": ladder(lambda iv, pt, ec, cs: iv, True),
+            "pdf_type": ladder(lambda iv, pt, ec, cs: pt, "text"),
+            "error_code": ladder(lambda iv, pt, ec, cs: ec, "VALID"),
+            "confidence_score": ladder(lambda iv, pt, ec, cs: cs, 1.0),
+        }
+    ).drop("_pages", "_media")
 
 
 def validate(docs: DataFrame) -> DataFrame:
-    """documents → VALIDATION rows (one per doc, one codegen projection)."""
-    v = validation_struct()
-    return docs.select("doc_id", v.alias("_v")).select("doc_id", "_v.*")
-
-
-def _res(is_valid: bool, pdf_type: str, error_code: str, confidence: float):
-    return F.struct(
-        F.lit(is_valid).alias("is_valid"),
-        F.lit(pdf_type).alias("pdf_type"),
-        F.lit(error_code).alias("error_code"),
-        F.lit(confidence).alias("confidence_score"),
-    )
+    """documents → VALIDATION rows (one per doc, narrow staged projections)."""
+    return with_validation(docs).select("doc_id", *VALIDATION_COLS)
 
 
 BANK_IDENTIFIERS = {  # apgvb_extractor.py:403-439 (V8; only APGVB defines them)

@@ -37,13 +37,11 @@ def split_valid(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     (SURVEY.md §2.11): invalid docs carry their error_code, never poison the
     parse stage. The split is a narrow FILTER on a computed validation struct
     — never a join back to the (wide, spans-carrying) docs table."""
-    tagged = docs.withColumn("_v", validation.validation_struct())
-    val = tagged.select("doc_id", "_v.*")
-    valid = tagged.where(F.col("_v.is_valid")).drop("_v")
-    quarantine = tagged.where(~F.col("_v.is_valid")).select(
-        "doc_id", "bank_id",
-        F.col("_v.error_code").alias("error_code"),
-        F.col("_v.pdf_type").alias("pdf_type"),
+    tagged = validation.with_validation(docs)
+    val = tagged.select("doc_id", *validation.VALIDATION_COLS)
+    valid = tagged.where(F.col("is_valid")).select(*docs.columns)
+    quarantine = tagged.where(~F.col("is_valid")).select(
+        "doc_id", "bank_id", "error_code", "pdf_type"
     )
     return val, valid, quarantine
 

@@ -102,6 +102,15 @@ def main() -> None:
             "overwrite"
         ).partitionBy("bank_id").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
+    # warm-up: one full untimed extraction. Cold-start JVM JIT + whole-stage
+    # codegen compilation dominates a first run (measured 28s cold vs 7.6s
+    # steady-state at 20k docs) and amortizes to nothing over a 100 TB job —
+    # the steady-state number is the one that extrapolates. The cache is
+    # cleared so the timed run performs ALL the compute (scan → validate →
+    # parse → emit), only the compiled code stays warm.
+    warm = pipeline.run(docs, persist=True)
+    warm["spans_out"].count()
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     out = pipeline.run(docs, persist=True)
     n_spans = out["spans_out"].count()
@@ -119,6 +128,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cpus": cpus,
                 "bench_docs": n_docs,
+                "methodology": "extract timed after one untimed JIT warm-up run, cache cleared",
                 "spans_emitted": n_spans,
                 "total_query_sec": round(sum(timings.values()), 3),
             }

@@ -71,16 +71,27 @@ def with_validation(docs: DataFrame) -> DataFrame:
         }
     )
 
-    wrong_pw = (
-        F.col("encrypted")
-        & F.col("password").isNotNull()
-        & (F.col("password") != CORRECT_PASSWORD)
-        & (F.trim(F.col("password")) != CORRECT_PASSWORD)  # trimmed retry (V4)
-    )
+    if "decode_status" in docs.columns:
+        # raw-bytes path: the codec ALREADY attempted real decryption
+        # (standard security handler + trimmed retry, pdf_codec.py) and
+        # reports the outcome — quarantine on its status, not on the
+        # fixture password columns
+        corrupted = spans.isNull() & (F.col("decode_status") == "CORRUPTED")
+        no_pw = F.col("decode_status") == "ENCRYPTED_NO_PASSWORD"
+        wrong_pw = F.col("decode_status") == "WRONG_PASSWORD"
+    else:
+        corrupted = spans.isNull()
+        no_pw = F.col("encrypted") & F.col("password").isNull()
+        wrong_pw = (
+            F.col("encrypted")
+            & F.col("password").isNotNull()
+            & (F.col("password") != CORRECT_PASSWORD)
+            & (F.trim(F.col("password")) != CORRECT_PASSWORD)  # trimmed retry (V4)
+        )
     conds = [  # (condition, is_valid, pdf_type, error_code, confidence)
-        (spans.isNull(), False, "invalid", "CORRUPTED", 0.0),
+        (corrupted, False, "invalid", "CORRUPTED", 0.0),
         (F.col("declared_size_mb") > MAX_FILE_SIZE_MB, False, "invalid", "FILE_TOO_LARGE", 0.0),
-        (F.col("encrypted") & F.col("password").isNull(), False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
+        (no_pw, False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
         (wrong_pw, False, "invalid", "WRONG_PASSWORD", 0.0),
         (F.col("page_count") == 0, False, "invalid", "EMPTY_PDF", 0.0),
         (F.col("page_count") > MAX_PAGES, False, "invalid", "TOO_MANY_PAGES", 0.0),

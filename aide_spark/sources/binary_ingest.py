@@ -72,6 +72,62 @@ def decode_pdf(payload: bytes) -> list[dict] | None:
     return decode_pdf_bytes(payload)
 
 
+DECODED_STATUS = StructType(
+    DECODED.fields + [StructField("decode_status", StringType(), False)]
+)
+
+
+def ingest_binary_pdf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "content",
+    password_col: str | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, content[, password]) → (doc_id, spans, decode_status).
+
+    The raw-PDF twin of :func:`ingest_binary` that carries the codec's
+    quarantine status through, so V4 runs on REAL bytes: encrypted PDFs
+    authenticate against the standard security handler (RC4/MD5, from
+    scratch in pdf_codec) with the reference's trimmed-password retry
+    (pdf_validator.py:113-134); failures surface as ``ENCRYPTED_NO_PASSWORD``
+    / ``WRONG_PASSWORD`` / ``CORRUPTED`` for the validator ladder.
+
+    ``passthrough`` columns (e.g. binaryFile's size-derived
+    ``declared_size_mb``) are copied through the Arrow batches — no re-join
+    (= no shuffle) needed to recover them downstream."""
+    import pandas as pd
+
+    from .pdf_codec import decode_pdf_bytes_ex
+
+    extra = passthrough or []
+    schema = StructType(
+        DECODED_STATUS.fields + [f for f in df.schema.fields if f.name in extra]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pws = (
+                pdf[password_col]
+                if password_col
+                else [None] * len(pdf)
+            )
+            decoded = [
+                decode_pdf_bytes_ex(b, pw if isinstance(pw, str) else None)
+                for b, pw in zip(pdf[payload_col], pws)
+            ]
+            out = {
+                "doc_id": pdf[id_col].astype(str),
+                "spans": [d[0] for d in decoded],
+                "decode_status": [d[1] for d in decoded],
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def ingest_binary(
     df: DataFrame,
     decoder: Callable[[bytes], list | None] = decode_container,

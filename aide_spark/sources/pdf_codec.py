@@ -18,7 +18,16 @@ self-contained subset implementation:
   NAME carries the media_ref via standard ``#xx`` name escaping — exactly
   how a real extractor would have to recover an image identity).
 
-Scope honestly stated: no encryption, no object streams (PDF 1.5 xref
+Encryption: the PDF standard security handler (spec 7.6.3) is implemented
+from scratch — RC4 (hand-rolled, ~15 lines) + MD5 key derivation
+(Algorithm 2), owner/user entries (Algorithms 3-5), revisions 2 and 3
+(40..128-bit keys). ``encode_pdf(..., password=...)`` emits an encrypted
+R=2 PDF with a deterministic ``/ID``; ``decode_pdf_bytes_ex`` authenticates
+against ``/U`` with the reference's trimmed-password retry
+(pdf_validator.py:113-134) and reports ``ENCRYPTED_NO_PASSWORD`` /
+``WRONG_PASSWORD`` so the raw-bytes ingest can exercise V4 on real bytes.
+
+Scope honestly stated: no AES (/V 4-5), no object streams (PDF 1.5 xref
 streams), no CID fonts; strings are utf-8 bytes. That covers every PDF this
 engine writes and the round-trip property test pins codec(decode∘encode)=id
 over the whole generator corpus.
@@ -26,7 +35,9 @@ over the whole generator corpus.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 from ..schemas import PAGE_BREAK
@@ -57,7 +68,7 @@ def _unescape_name(name: bytes) -> str:
     out = bytearray()
     i = 0
     while i < len(name):
-        if name[i : i + 1] == b"#" and i + 2 < len(name) + 1:
+        if name[i : i + 1] == b"#" and i + 3 <= len(name):
             try:
                 out.append(int(name[i + 1 : i + 3], 16))
                 i += 3
@@ -67,6 +78,98 @@ def _unescape_name(name: bytes) -> str:
         out.append(name[i])
         i += 1
     return out.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (PDF spec 7.6.3): RC4 + MD5, revisions 2 and 3
+# ---------------------------------------------------------------------------
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+_DEFAULT_P = -44  # print+copy permissions, the common viewer default
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: str) -> bytes:
+    return (pw.encode("latin-1", errors="replace") + _PAD)[:32]
+
+
+def _file_key(
+    password: str, o_entry: bytes, p: int, file_id: bytes, rev: int, keylen: int
+) -> bytes:
+    """Algorithm 2: user password -> file encryption key."""
+    h = hashlib.md5(
+        _pad_password(password) + o_entry[:32] + struct.pack("<i", p) + file_id
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _owner_entry(owner_pw: str, user_pw: str, rev: int, keylen: int) -> bytes:
+    """Algorithm 3: /O entry."""
+    h = hashlib.md5(_pad_password(owner_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:keylen]
+    o = _rc4(key, _pad_password(user_pw))
+    if rev >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _user_entry(file_key: bytes, rev: int, file_id: bytes) -> bytes:
+    """Algorithms 4 (rev 2) / 5 (rev 3): /U entry."""
+    if rev == 2:
+        return _rc4(file_key, _PAD)
+    u = _rc4(file_key, hashlib.md5(_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # 16 bytes arbitrary padding (spec note)
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object RC4 key: MD5(file_key + objnum[0:3] + gennum[0:2])."""
+    h = hashlib.md5(
+        file_key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _authenticate(
+    password: str, o_entry: bytes, u_entry: bytes, p: int, file_id: bytes,
+    rev: int, keylen: int,
+) -> bytes | None:
+    """User-password check (Algorithm 6): derive the key, recompute /U,
+    compare (rev 3: first 16 bytes only). Returns the file key or None."""
+    key = _file_key(password, o_entry, p, file_id, rev, keylen)
+    want = _user_entry(key, rev, file_id)
+    got = u_entry[:16] if rev >= 3 else u_entry[:32]
+    return key if want[: len(got)] == got else None
 
 
 # ---------------------------------------------------------------------------
@@ -83,9 +186,31 @@ def _escape_string(text: str) -> bytes:
     )
 
 
-def encode_pdf(spans: list[tuple], compress: bool = True) -> bytes:
+def _encrypt_stream_obj(body: bytes, key: bytes) -> bytes:
+    """RC4-encrypt the stream payload inside an object body in place
+    (encryption applies AFTER filters, so FlateDecode data is what's
+    encrypted; RC4 preserves length so /Length stays valid)."""
+    m = re.search(rb"stream\r?\n", body)
+    if not m:
+        return body
+    lm = re.search(rb"/Length\s+(\d+)", body[: m.start()])
+    n = int(lm.group(1))
+    data = body[m.end() : m.end() + n]
+    return body[: m.end()] + _rc4(key, data) + body[m.end() + n :]
+
+
+def encode_pdf(
+    spans: list[tuple],
+    compress: bool = True,
+    password: str | None = None,
+    owner_password: str | None = None,
+    security_rev: int = 2,
+) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
-    ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages."""
+    ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
+    With ``password``, emits a standard-security-handler encrypted PDF
+    (rev 2: V=1 40-bit RC4; rev 3: V=2 128-bit RC4; deterministic /ID =
+    MD5 of the plaintext objects)."""
     pages: list[list[tuple]] = [[]]
     media_refs: list[str] = []
     for kind, text, media_ref, _off in spans:
@@ -150,6 +275,33 @@ def encode_pdf(spans: list[tuple], compress: bool = True) -> bytes:
         + str(len(page_nums)).encode() + b" >>"
     )
 
+    trailer_extra = b""
+    if password is not None:
+        rev = security_rev
+        keylen = 5 if rev == 2 else 16
+        v = 1 if rev == 2 else 2
+        file_id = hashlib.md5(b"".join(objs[n] for n in sorted(objs))).digest()
+        o_entry = _owner_entry(owner_password or password, password, rev, keylen)
+        fkey = _file_key(password, o_entry, _DEFAULT_P, file_id, rev, keylen)
+        u_entry = _user_entry(fkey, rev, file_id)
+        for num in list(objs):
+            if b"stream" in objs[num]:
+                objs[num] = _encrypt_stream_obj(objs[num], _object_key(fkey, num))
+        enc_num = next_num
+        objs[enc_num] = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(rev).encode()
+            + b" /Length " + str(keylen * 8).encode()
+            + b" /O <" + o_entry.hex().encode()
+            + b"> /U <" + u_entry.hex().encode()
+            + b"> /P " + str(_DEFAULT_P).encode() + b" >>"
+        )
+        id_hex = file_id.hex().encode()
+        trailer_extra = (
+            b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+            b" /ID [<" + id_hex + b"> <" + id_hex + b">]"
+        )
+
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -162,7 +314,8 @@ def encode_pdf(spans: list[tuple], compress: bool = True) -> bytes:
     for num in range(1, n_max):
         out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
     out += (
-        b"trailer\n<< /Size " + str(n_max).encode() + b" /Root 1 0 R >>\n"
+        b"trailer\n<< /Size " + str(n_max).encode() + b" /Root 1 0 R"
+        + trailer_extra + b" >>\n"
         b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
@@ -213,24 +366,144 @@ def _dict_value(body: bytes, key: bytes) -> bytes | None:
     return None if i < 0 else body[i + len(key):]
 
 
-def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes | None:
+def _stream_data(
+    body: bytes, objs: dict[int, bytes], decrypt=None
+) -> bytes | None:
     m = re.search(rb"stream\r?\n", body)
     if not m:
         return None
-    end = body.rfind(b"endstream")
-    if end < 0:
-        return None
-    data = body[m.end() : end]
-    if data.endswith(b"\r\n"):
-        data = data[:-2]
-    elif data.endswith(b"\n"):
-        data = data[:-1]
-    if b"/FlateDecode" in body[: m.start()]:
+    head = body[: m.start()]
+    flate = b"/FlateDecode" in head
+    lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
+    length: int | None = None
+    if lm:
+        if not lm.group(2):
+            length = int(lm.group(1))
+        else:  # indirect /Length: resolve the referenced integer object
+            ref = objs.get(int(lm.group(1)))
+            if ref is not None:
+                dm = re.search(rb"\d+", ref)
+                if dm:
+                    length = int(dm.group(0))
+    if length is not None and m.end() + length <= len(body):
+        # exact slice by /Length — no EOL heuristics that could eat stream
+        # bytes (a zlib stream ending 0x0d followed by the encoder's '\n'
+        # looks like a '\r\n' terminator; stripping it corrupts the data)
+        data = body[m.end() : m.end() + length]
+    else:
+        end = body.rfind(b"endstream")
+        if end < 0:
+            return None
+        data = body[m.end() : end]
+        if not flate:
+            # EOL-before-endstream strip only for raw streams; zlib below
+            # tolerates trailing bytes so Flate data is never trimmed
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith(b"\n"):
+                data = data[:-1]
+    if decrypt is not None:
+        data = decrypt(data)  # decryption precedes filters (spec 7.6.2)
+    if flate:
         try:
             data = zlib.decompress(data)
         except zlib.error:
-            return None
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
     return data
+
+
+def _string_value(body: bytes, key: bytes) -> bytes | None:
+    """Parse the string value after ``key`` in a dict body: hex ``<..>`` or
+    literal ``(..)`` with backslash escapes (as the /O and /U entries are)."""
+    rest = _dict_value(body, key)
+    if rest is None:
+        return None
+    rest = rest.lstrip()
+    if rest.startswith(b"<"):
+        j = rest.find(b">")
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s", b"", rest[1:j])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    if rest.startswith(b"("):
+        out = bytearray()
+        i, depth = 1, 1
+        while i < len(rest) and depth:
+            ch = rest[i : i + 1]
+            if ch == b"\\" and i + 1 < len(rest):
+                nxt = rest[i + 1 : i + 2]
+                esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                       b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+                if nxt in esc:
+                    out += esc[nxt]
+                    i += 2
+                elif nxt in b"01234567":
+                    om = re.match(rb"[0-7]{1,3}", rest[i + 1 : i + 4])
+                    out.append(int(om.group(0), 8) & 0xFF)
+                    i += 1 + len(om.group(0))
+                else:
+                    i += 1
+            elif ch == b"(":
+                depth += 1
+                out += ch
+                i += 1
+            elif ch == b")":
+                depth -= 1
+                if depth:
+                    out += ch
+                i += 1
+            else:
+                out += ch
+                i += 1
+        return bytes(out)
+    return None
+
+
+def _int_value(body: bytes, key: bytes, default: int | None = None) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else default
+
+
+def _encryption_context(
+    payload: bytes, objs: dict[int, bytes]
+) -> tuple[bytes | None, int, int, bytes, bytes, int, bytes] | None:
+    """Locate the trailer's /Encrypt + /ID; return
+    (None-sentinel unused, rev, keylen, o_entry, u_entry, p, file_id) or
+    None when the document is unencrypted. Raises ValueError when the
+    encryption dict is present but unsupported/malformed (CORRUPTED path)."""
+    t = payload.rfind(b"trailer")
+    tail = payload[t:] if t >= 0 else payload
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail)
+    if not em:
+        return None
+    enc = objs.get(int(em.group(1)))
+    if enc is None:
+        raise ValueError("missing encrypt dict")
+    v = _int_value(enc, b"/V", 0)
+    rev = _int_value(enc, b"/R", 2)
+    if v not in (1, 2) or rev not in (2, 3):
+        raise ValueError("unsupported security handler")  # AES etc.
+    keylen = (_int_value(enc, b"/Length", 40) or 40) // 8 if rev >= 3 else 5
+    if rev == 2:
+        keylen = 5
+    o_entry = _string_value(enc, b"/O")
+    u_entry = _string_value(enc, b"/U")
+    p = _int_value(enc, b"/P", _DEFAULT_P)
+    idm = re.search(rb"/ID\s*\[\s*(<[0-9a-fA-F\s]*>|\([^)]*\))", tail)
+    file_id = b""
+    if idm:
+        file_id = _string_value(b"/ID " + idm.group(1), b"/ID") or b""
+    if o_entry is None or u_entry is None:
+        raise ValueError("malformed encrypt dict")
+    return (None, rev, keylen, o_entry, u_entry, p, file_id)
 
 
 def _page_numbers(objs: dict[int, bytes]) -> list[int] | None:
@@ -349,16 +622,49 @@ def _tokenize_content(data: bytes):
             i = j
 
 
-def decode_pdf_bytes(payload: bytes) -> list[dict] | None:
-    """Raw PDF bytes → canonical span dicts (None ⇒ quarantine)."""
+def decode_pdf_bytes_ex(
+    payload: bytes, password: str | None = None
+) -> tuple[list[dict] | None, str]:
+    """Raw PDF bytes → (canonical span dicts | None, status). Status is one
+    of ``OK`` / ``CORRUPTED`` / ``ENCRYPTED_NO_PASSWORD`` / ``WRONG_PASSWORD``
+    — the same codes the validator quarantines with, so the raw-bytes path
+    reproduces pdf_validator.py:113-134 (including the ``strip()``-retry) on
+    real encrypted bytes."""
     if not isinstance(payload, (bytes, bytearray)) or not payload.startswith(b"%PDF-"):
-        return None
+        return None, "CORRUPTED"
     objs = _parse_objects(bytes(payload))
     if not objs:
-        return None
+        return None, "CORRUPTED"
+
+    fkey: bytes | None = None
+    try:
+        enc = _encryption_context(bytes(payload), objs)
+    except ValueError:
+        return None, "CORRUPTED"
+    if enc is not None:
+        _, rev, keylen, o_entry, u_entry, p, file_id = enc
+        if not password:  # reference: `if not password:` (empty counts)
+            return None, "ENCRYPTED_NO_PASSWORD"
+        fkey = _authenticate(password, o_entry, u_entry, p, file_id, rev, keylen)
+        if fkey is None and password.strip() != password:
+            fkey = _authenticate(
+                password.strip(), o_entry, u_entry, p, file_id, rev, keylen
+            )
+        if fkey is None:
+            return None, "WRONG_PASSWORD"
+
+    def fetch_stream(num: int) -> bytes | None:
+        ob = objs.get(num)
+        if ob is None:
+            return None
+        dec = (
+            (lambda d, n=num: _rc4(_object_key(fkey, n), d)) if fkey else None
+        )
+        return _stream_data(ob, objs, decrypt=dec)
+
     page_nums = _page_numbers(objs)
     if not page_nums:
-        return None
+        return None, "CORRUPTED"
 
     spans: list[dict] = []
 
@@ -377,18 +683,17 @@ def decode_pdf_bytes(payload: bytes) -> list[dict] | None:
             if contents_raw.lstrip().startswith(b"["):
                 arr = contents_raw[contents_raw.find(b"[") + 1 : contents_raw.find(b"]")]
                 for m in re.finditer(rb"(\d+)\s+\d+\s+R", arr):
-                    ob = objs.get(int(m.group(1)))
-                    if ob is not None:
-                        s = _stream_data(ob, objs)
+                    if int(m.group(1)) in objs:
+                        s = fetch_stream(int(m.group(1)))
                         if s is None:
-                            return None
+                            return None, "CORRUPTED"
                         streams.append(s)
             else:
-                ob = _resolve_ref(contents_raw, objs)
-                if ob is not None:
-                    s = _stream_data(ob, objs)
+                rm = _REF_RE.match(contents_raw)
+                if rm and int(rm.group(1)) in objs:
+                    s = fetch_stream(int(rm.group(1)))
                     if s is None:
-                        return None
+                        return None, "CORRUPTED"
                     streams.append(s)
 
         buf: list[str] = []
@@ -432,4 +737,11 @@ def decode_pdf_bytes(payload: bytes) -> list[dict] | None:
                         if last_name:
                             emit("media", media_ref=_unescape_name(last_name))
         flush()
-    return spans
+    return spans, "OK"
+
+
+def decode_pdf_bytes(
+    payload: bytes, password: str | None = None
+) -> list[dict] | None:
+    """Raw PDF bytes → canonical span dicts (None ⇒ quarantine)."""
+    return decode_pdf_bytes_ex(payload, password)[0]

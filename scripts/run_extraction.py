@@ -22,6 +22,47 @@ from __future__ import annotations
 import argparse
 
 
+def build_raw_docs(spark, input_path: str, passwords_path: str | None = None):
+    """binaryFile scan of real .pdf files → pipeline-shaped docs table.
+
+    The actual on-disk size (binaryFile's ``length``) feeds
+    ``declared_size_mb`` so the 25 MB FILE_TOO_LARGE gate fires on real
+    files (r2 advisory fix); optional (doc_id, password) parquet joins in as
+    a broadcast dim and the codec attempts real RC4 decryption per doc."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.sources.binary_ingest import ingest_binary_pdf
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(input_path)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1).alias("doc_id"),
+            "content",
+            (F.col("length") / F.lit(1048576.0)).alias("declared_size_mb"),
+        )
+    )
+    if passwords_path:
+        pw = spark.read.parquet(passwords_path).select("doc_id", "password")
+        raw = raw.join(F.broadcast(pw), "doc_id", "left")
+    else:
+        raw = raw.withColumn("password", F.lit(None).cast("string"))
+    return (
+        ingest_binary_pdf(
+            raw, password_col="password", passthrough=["declared_size_mb"]
+        )
+        .withColumn("bank_id", F.regexp_extract("doc_id", r"^([A-Z]+)-", 1))
+        .withColumn(
+            "bank_id",
+            F.when(
+                F.col("bank_id").isin("UNION", "CANARA", "APGVB"), F.col("bank_id")
+            ),
+        )
+        .withColumn("pdf_meta", F.lit(None).cast("map<string,string>"))
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet (or PDF dir with --raw-pdf)")
@@ -29,12 +70,13 @@ def main() -> None:
     ap.add_argument("--batch-id", default=None)
     ap.add_argument("--raw-pdf", action="store_true",
                     help="input is a directory of .pdf files (binaryFile scan)")
+    ap.add_argument("--passwords", default=None,
+                    help="optional parquet of (doc_id, password) for encrypted PDFs")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: cluster setting)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     builder = SparkSession.builder.appName("aide-spark-extract")
     if args.shuffle_partitions:
@@ -42,32 +84,9 @@ def main() -> None:
     spark = builder.getOrCreate()
 
     from aide_spark.plans.checkpoint import SnapshotStore, run_with_resume
-    from aide_spark.sources.binary_ingest import decode_pdf, ingest_binary
 
     if args.raw_pdf:
-        raw = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.pdf")
-            .load(args.input)
-            .select(
-                F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1).alias("doc_id"),
-                "content",
-            )
-        )
-        docs = (
-            ingest_binary(raw, decoder=decode_pdf)
-            .withColumn("bank_id", F.regexp_extract("doc_id", r"^([A-Z]+)-", 1))
-            .withColumn(
-                "bank_id",
-                F.when(
-                    F.col("bank_id").isin("UNION", "CANARA", "APGVB"), F.col("bank_id")
-                ),
-            )
-            .withColumn("password", F.lit(None).cast("string"))
-            .withColumn("encrypted", F.lit(False))
-            .withColumn("declared_size_mb", F.lit(0.1))
-            .withColumn("pdf_meta", F.lit(None).cast("map<string,string>"))
-        )
+        docs = build_raw_docs(spark, args.input, args.passwords)
     else:
         docs = spark.read.parquet(args.input)
 

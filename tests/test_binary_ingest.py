@@ -89,6 +89,185 @@ def test_pdf_codec_rejects_garbage():
     assert decode_pdf(pdf[: len(pdf) // 3]) in (None, [])
 
 
+def test_pdf_codec_stream_tail_bytes():
+    """r2 advisory (high): stream data whose last byte is 0x0d must not be
+    trimmed by the EOL-before-endstream heuristic — /Length slices exactly."""
+    import zlib
+
+    from aide_spark.sources.pdf_codec import _stream_data
+
+    payload = b"raw data ending in CR\r"
+    body = (b"<< /Length %d >>\nstream\n" % len(payload)) + payload + b"\nendstream"
+    assert _stream_data(body, {}) == payload
+
+    z = zlib.compress(b"content stream bytes")
+    body = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
+    ) + z + b"\nendstream"
+    assert _stream_data(body, {}) == b"content stream bytes"
+    # no /Length at all: Flate data is never EOL-trimmed (zlib tolerates tail)
+    body = b"<< /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
+    assert _stream_data(body, {}) == b"content stream bytes"
+    # indirect /Length resolves through the object table
+    body = b"<< /Length 9 0 R >>\nstream\n" + payload + b"\nendstream"
+    assert _stream_data(body, {9: b" %d " % len(payload)}) == payload
+
+
+def test_unescape_name_truncated_escape():
+    """r2 advisory (low): a truncated one-digit '#x' at end-of-name must pass
+    through literally, not parse as a 1-digit hex byte."""
+    from aide_spark.sources.pdf_codec import _unescape_name
+
+    assert _unescape_name(b"abc#4") == "abc#4"
+    assert _unescape_name(b"abc#") == "abc#"
+    assert _unescape_name(b"a#20b") == "a b"
+
+
+def test_rc4_known_answer_vectors():
+    """Pin the hand-rolled RC4 against published test vectors (no crypto
+    library in the sandbox, so the primitive is verified by known answers)."""
+    from aide_spark.sources.pdf_codec import _rc4
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex("BBF316E8D940AF0AD3")
+    assert _rc4(b"Wiki", b"pedia") == bytes.fromhex("1021BF0420")
+    assert _rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+        "45A01F645FC35B383552544B9BF5"
+    )
+    # RC4 is its own inverse
+    assert _rc4(b"Key", _rc4(b"Key", b"round trip")) == b"round trip"
+
+
+@pytest.mark.parametrize("rev,compress", [(2, True), (2, False), (3, True)])
+def test_pdf_codec_encrypted_round_trip(rev, compress):
+    """decode(encode(spans, password)) == spans across the generator corpus
+    for the standard security handler, revisions 2 (40-bit) and 3 (128-bit);
+    wrong/missing passwords report the reference's quarantine codes."""
+    from aide_spark.sources.pdf_codec import decode_pdf_bytes_ex, encode_pdf
+
+    checked = 0
+    for d in corpus(36):
+        if d["spans"] is None:
+            continue
+        want = [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m, _o) in enumerate(d["spans"])
+        ]
+        pdf = encode_pdf(
+            d["spans"], compress=compress, password="pw-" + d["doc_id"],
+            security_rev=rev,
+        )
+        got, status = decode_pdf_bytes_ex(pdf, "pw-" + d["doc_id"])
+        assert (status, got) == ("OK", want), d["doc_id"]
+        # trimmed-password retry (pdf_validator.py:113-134)
+        got_t, status_t = decode_pdf_bytes_ex(pdf, "  pw-" + d["doc_id"] + " ")
+        assert (status_t, got_t) == ("OK", want)
+        assert decode_pdf_bytes_ex(pdf)[1] == "ENCRYPTED_NO_PASSWORD"
+        assert decode_pdf_bytes_ex(pdf, "")[1] == "ENCRYPTED_NO_PASSWORD"
+        assert decode_pdf_bytes_ex(pdf, "nope")[1] == "WRONG_PASSWORD"
+        checked += 1
+        if checked >= 8:
+            break
+    assert checked == 8
+
+
+def test_pdf_codec_encrypted_no_plaintext_leak():
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    spans = [("text", "TOP SECRET BALANCE 12,345.67", "", 0)]
+    assert b"TOP SECRET" not in encode_pdf(spans, password="x", compress=False)
+    # owner password differing from user password still authenticates user
+    from aide_spark.sources.pdf_codec import decode_pdf_bytes_ex
+
+    pdf = encode_pdf(spans, password="user", owner_password="owner")
+    got, status = decode_pdf_bytes_ex(pdf, "user")
+    assert status == "OK" and got[0]["text"] == spans[0][1]
+
+
+def test_encrypted_pdf_e2e_quarantine(spark):
+    """binaryFile-shaped REAL encrypted bytes → ingest_binary_pdf → validate:
+    correct password extracts, wrong password / no password quarantine with
+    the reference's codes — V4 exercised on actual RC4-encrypted PDFs."""
+    from aide_spark.operators.validation import validate
+    from aide_spark.sources.binary_ingest import ingest_binary_pdf
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    doc = next(d for d in corpus(8) if d["spans"] is not None)
+    pdf = encode_pdf(doc["spans"], password="hunter2")
+    rows = [
+        ("good", bytearray(pdf), "hunter2"),
+        ("padded", bytearray(pdf), " hunter2  "),  # trimmed retry
+        ("wrong", bytearray(pdf), "letmein"),
+        ("missing", bytearray(pdf), None),
+        ("plain", bytearray(encode_pdf(doc["spans"])), None),
+        ("garbage", bytearray(b"%PDF-1.4 not really"), None),
+    ]
+    binary = spark.createDataFrame(
+        rows, "doc_id string, content binary, password string"
+    )
+    decoded = ingest_binary_pdf(binary, password_col="password").withColumn(
+        "declared_size_mb", F.lit(0.1)
+    )
+    val = {r.doc_id: r for r in validate(decoded).collect()}
+    assert val["good"].error_code == "VALID" and val["good"].is_valid
+    assert val["padded"].error_code == "VALID"
+    assert val["wrong"].error_code == "WRONG_PASSWORD"
+    assert val["missing"].error_code == "ENCRYPTED_NO_PASSWORD"
+    assert val["plain"].error_code == "VALID"
+    assert val["garbage"].error_code == "CORRUPTED"
+    spans = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in decoded.collect()
+        if r.spans is not None
+    }
+    assert spans["good"] == [tuple(s) for s in doc["spans"]]
+    assert spans["padded"] == spans["good"] == spans["plain"]
+
+
+def test_build_raw_docs_real_files(spark, tmp_path):
+    """spark-submit entry's binaryFile branch: real .pdf files on disk,
+    declared_size_mb from the ACTUAL file length (r2 advisory: the 25 MB
+    gate must be able to fire), passwords joined from a side parquet,
+    encrypted docs really decrypted / quarantined through the pipeline."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from run_extraction import build_raw_docs
+
+    from aide_spark.operators.validation import validate
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    doc = next(d for d in corpus(8) if d["spans"] is not None)
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    (pdf_dir / "UNION-enc.pdf").write_bytes(encode_pdf(doc["spans"], password="pw1"))
+    (pdf_dir / "UNION-plain.pdf").write_bytes(encode_pdf(doc["spans"]))
+    (pdf_dir / "CANARA-nopw.pdf").write_bytes(encode_pdf(doc["spans"], password="pw2"))
+    pw_path = str(tmp_path / "pw.parquet")
+    spark.createDataFrame(
+        [("UNION-enc", "pw1")], "doc_id string, password string"
+    ).write.parquet(pw_path)
+
+    docs = build_raw_docs(spark, str(pdf_dir), pw_path)
+    rows = {r.doc_id: r for r in docs.collect()}
+    real_mb = len(encode_pdf(doc["spans"], password="pw1")) / 1048576.0
+    assert abs(rows["UNION-enc"].declared_size_mb - real_mb) < 1e-9
+    assert rows["UNION-enc"].decode_status == "OK"
+    assert rows["CANARA-nopw"].decode_status == "ENCRYPTED_NO_PASSWORD"
+    val = {r.doc_id: r for r in validate(docs).collect()}
+    assert val["UNION-enc"].error_code == "VALID"
+    assert val["UNION-plain"].error_code == "VALID"
+    assert val["CANARA-nopw"].error_code == "ENCRYPTED_NO_PASSWORD"
+    # oversized declared size trips the gate now that it is real
+    big = docs.sparkSession.createDataFrame(
+        [("big", [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}],
+          "OK", 26.0)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, decode_status string, "
+        "declared_size_mb double",
+    )
+    assert validate(big).collect()[0].error_code == "FILE_TOO_LARGE"
+
+
 def test_pdf_ingest_through_pipeline(spark):
     """binaryFile-shaped input of REAL PDFs → decode_pdf → validate → parse:
     spans_out must equal the direct span-table path end-to-end."""

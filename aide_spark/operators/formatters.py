@@ -129,8 +129,11 @@ def statement_filename(
     ``bank_statement_<job_id>`` when there is no metadata at all.
     ``today`` pins the no-period branch (reference: ``datetime.now()``)."""
     bank = F.coalesce(meta.getField("bank_name"), F.lit("Bank"))
+    # (?U): Java \w/\s are ASCII-only by default, Python's re are Unicode —
+    # without the flag an accented bank name would lose letters the
+    # reference keeps (r2 advisory)
     bank_clean = F.regexp_replace(
-        py_strip(F.regexp_replace(bank, r"[^\w\s-]", "")), r"\s+", "_"
+        py_strip(F.regexp_replace(bank, r"(?U)[^\w\s-]", "")), r"(?U)\s+", "_"
     )
     acct = meta.getField("account_number")
     fd = meta.getField("statement_period").getField("from_date")

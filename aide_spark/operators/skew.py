@@ -19,32 +19,29 @@ but real. Two distinct places to handle it:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def repartition_by_span_count(
     docs: DataFrame, num_partitions: int, heavy_threshold: int = 2000
 ) -> DataFrame:
-    """Balance narrow per-doc compute: hash-partition light docs; round-robin
-    the heavy tail by RANGE on the round-robin id — distinct ids land in
-    distinct ranges, so heavy docs spread across partitions (hash
-    partitioning pmod(hash(_p), n) is NOT a bijection on 0..n-1 and could
-    still co-locate two heavy docs). Range boundaries come from sampling, so
-    the spread is near-perfect rather than guaranteed one-per-partition.
-
-    The heavy branch uses a global row_number (single-task) — acceptable
-    precisely because heavy docs are rare by definition; if they are not,
-    raise ``heavy_threshold``.
-    """
+    """Balance narrow per-doc compute: hash-partition light docs; spread the
+    heavy tail by RANGE on a SALTED HASH id — ``pmod(xxhash64(doc_id), n)``
+    is computed rowwise (no exchange, no single task; the r2 global
+    ``row_number`` window serialized every heavy doc through one task) and
+    range placement maps distinct salt values to distinct partitions. Two
+    heavy docs co-locate only on a salt collision (~k²/2n for k heavy docs —
+    rare by definition; raise ``heavy_threshold`` if they are not). The salt
+    is a pure function of ``doc_id``, so placement is DETERMINISTIC across
+    retries and resumes (a ``monotonically_increasing_id`` spread would
+    depend on the incidental input partitioning and break idempotent
+    re-runs)."""
     size = F.coalesce(F.size("spans"), F.lit(0))
     light = docs.where(size <= heavy_threshold).repartition(num_partitions, "doc_id")
     heavy = docs.where(size > heavy_threshold)
-    rr = (
-        F.row_number().over(Window.orderBy(F.desc(F.size("spans")), "doc_id")) - 1
-    ) % num_partitions
     heavy_rr = (
-        heavy.withColumn("_p", rr)
+        heavy.withColumn("_p", F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
         .repartitionByRange(num_partitions, "_p")
         .drop("_p")
     )

@@ -178,14 +178,23 @@ def list_statements(
     limit: int = 50,
 ) -> DataFrame | None:
     """S9 — the statements-list read path (api/handler.py:158-273): lineage
-    filtered by status, newest batch first, paginated by limit."""
+    filtered by status, newest batch first, paginated by limit. Recency is
+    COMMIT-TIME order (broadcast of the tiny commit log), not lexicographic
+    batch_id — mixed 'stream-<n>' and timestamp-prefixed ids do not sort
+    (r2 advisory)."""
     lineage = store.read(spark, "lineage")
     if lineage is None:
         return None
+    ts_df = spark.createDataFrame(
+        [(c["batch_id"], float(c["ts"])) for c in store.committed()],
+        "batch_id string, _commit_ts double",
+    )
     return (
         lineage.where(F.col("status").isin(*statuses))
-        .orderBy(F.desc("batch_id"), "doc_id")
+        .join(F.broadcast(ts_df), "batch_id", "left")
+        .orderBy(F.desc_nulls_last("_commit_ts"), "doc_id")
         .limit(limit)
+        .drop("_commit_ts")
     )
 
 

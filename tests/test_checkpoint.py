@@ -121,3 +121,24 @@ def test_time_travel_with_mixed_batch_id_styles(spark, store, tmp_path):
     }
     with pytest.raises(KeyError):
         s.read(spark, "lineage", as_of="nonexistent")
+
+
+def test_list_statements_orders_by_commit_time(spark, tmp_path):
+    """S9 — newest-first must be COMMIT-TIME order: with mixed 'stream-<n>'
+    and timestamp-prefixed batch ids, lexicographic batch_id ordering would
+    put the OLDER 'stream-0' batch first (r2 advisory)."""
+    from aide_spark.plans.checkpoint import SnapshotStore, list_statements
+
+    s = SnapshotStore(str(tmp_path / "order"))
+    docs = local_corpus_df(spark, 16)
+    run_with_resume(spark, docs.where("doc_id RLIKE '0$'"), s, batch_id="stream-0")
+    run_with_resume(
+        spark, docs.where("doc_id RLIKE '1$'"), s, batch_id="20991231000000-zzz"
+    )
+    rows = list_statements(spark, s, limit=1000).select("batch_id").collect()
+    batches = [r.batch_id for r in rows]
+    # the later-committed timestamped batch leads; stream-0 rows follow
+    assert batches[0] == "20991231000000-zzz"
+    assert batches[-1] == "stream-0"
+    first_stream = batches.index("stream-0")
+    assert all(b == "stream-0" for b in batches[first_stream:])

@@ -131,6 +131,10 @@ def test_statement_filename_matches_reference(spark):
          "statement_period": {"from_date": "31/31/2024", "to_date": "01/01/2025"}},
         {"bank_name": "Union Bank", "account_number": "",
          "statement_period": {"from_date": "", "to_date": ""}},
+        # non-ASCII letters: Python \w is Unicode, so the reference KEEPS
+        # them — Java needs (?U) or it strips them (r2 advisory)
+        {"bank_name": "Crédit Agricolé (São Paulo)", "account_number": "777",
+         "statement_period": {"from_date": "01/04/2024", "to_date": "31/03/2025"}},
         None,
     ]
     import datetime as _dt

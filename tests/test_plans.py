@@ -93,6 +93,12 @@ def test_skew_repartition_balances_heavy_docs(spark):
     # heavy docs land in dedicated partitions: no single partition carries
     # more than ~60% of total span mass across 8 partitions
     assert max(sizes) / max(sum(sizes), 1) < 0.6, sizes
+    # VERDICT r2 #7: the heavy branch must be shuffle-free up to the range
+    # placement — no global-order Exchange(SinglePartition) in the plan
+    plan = repartition_by_span_count(
+        heavy, 8, heavy_threshold=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
 
 
 def test_lsh_hot_bucket_bounded(spark):
@@ -118,6 +124,44 @@ def test_lsh_hot_bucket_bounded(spark):
     assert pairs.exceptAll(
         D.lsh_candidate_pairs(bands, max_bucket_size=1_000_000)
     ).count() == 0
+
+
+def test_lsh_subsplit_recall_floor(spark):
+    """VERDICT r2 #5 — quantify the sub-split recall trade on a synthetic
+    near-clique: 500 near-identical docs landing in one bucket per band
+    (4 bands, cap 64 ⇒ 8 sub-buckets). The per-band SALT makes each band
+    split the clique differently, so expected pair recall is
+    1-(1-1/8)^4 ≈ 0.41 (vs 1/8 = 0.125 unsalted). Floors asserted:
+    candidate-PAIR recall ≥ 0.35, and DOC-level dedup recall = 1.0 (the
+    pairs still connect the whole clique into ONE duplicate component)."""
+    from aide_spark.operators import dedup as D
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "'common boilerplate text repeated here always' AS text"
+    )
+    bands = D.minhash_band_table(docs)
+    capped = D.lsh_candidate_pairs(bands, max_bucket_size=64)
+    uncapped_n = 500 * 499 // 2
+    pair_rows = capped.collect()
+    pair_recall = len(pair_rows) / uncapped_n
+    assert pair_recall >= 0.35, pair_recall
+
+    # doc-level: union-find the capped pairs into duplicate components
+    parent = list(range(500))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        a, b = find(int(r.d1)), find(int(r.d2))
+        if a != b:
+            parent[a] = b
+    components = len({find(i) for i in range(500)})
+    doc_recall = (500 - components) / (500 - 1)
+    assert components == 1 and doc_recall == 1.0, (components, doc_recall)
 
 
 def test_cosine_verify_no_nested_loop_join(spark):

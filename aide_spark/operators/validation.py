@@ -71,28 +71,39 @@ def with_validation(docs: DataFrame) -> DataFrame:
         }
     )
 
+    size_gate = (
+        F.col("declared_size_mb") > MAX_FILE_SIZE_MB,
+        False, "invalid", "FILE_TOO_LARGE", 0.0,
+    )
     if "decode_status" in docs.columns:
         # raw-bytes path: the codec ALREADY attempted real decryption
         # (standard security handler + trimmed retry, pdf_codec.py) and
         # reports the outcome — quarantine on its status, not on the
-        # fixture password columns
-        corrupted = spans.isNull() & (F.col("decode_status") == "CORRUPTED")
-        no_pw = F.col("decode_status") == "ENCRYPTED_NO_PASSWORD"
-        wrong_pw = F.col("decode_status") == "WRONG_PASSWORD"
+        # fixture password columns. Predicate order is the reference's
+        # exactly (pdf_validator.py:44-73): magic bytes (NOT_PDF) → size →
+        # structure (CORRUPTED) → encryption
+        status = F.col("decode_status")
+        head = [
+            ((status == "NOT_PDF"), False, "invalid", "NOT_PDF", 0.0),
+            size_gate,
+            ((status == "CORRUPTED"), False, "invalid", "CORRUPTED", 0.0),
+            ((status == "ENCRYPTED_NO_PASSWORD"), False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
+            ((status == "WRONG_PASSWORD"), False, "invalid", "WRONG_PASSWORD", 0.0),
+        ]
     else:
-        corrupted = spans.isNull()
-        no_pw = F.col("encrypted") & F.col("password").isNull()
         wrong_pw = (
             F.col("encrypted")
             & F.col("password").isNotNull()
             & (F.col("password") != CORRECT_PASSWORD)
             & (F.trim(F.col("password")) != CORRECT_PASSWORD)  # trimmed retry (V4)
         )
-    conds = [  # (condition, is_valid, pdf_type, error_code, confidence)
-        (corrupted, False, "invalid", "CORRUPTED", 0.0),
-        (F.col("declared_size_mb") > MAX_FILE_SIZE_MB, False, "invalid", "FILE_TOO_LARGE", 0.0),
-        (no_pw, False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
-        (wrong_pw, False, "invalid", "WRONG_PASSWORD", 0.0),
+        head = [
+            (spans.isNull(), False, "invalid", "CORRUPTED", 0.0),
+            size_gate,
+            (F.col("encrypted") & F.col("password").isNull(), False, "invalid", "ENCRYPTED_NO_PASSWORD", 0.0),
+            (wrong_pw, False, "invalid", "WRONG_PASSWORD", 0.0),
+        ]
+    conds = head + [  # (condition, is_valid, pdf_type, error_code, confidence)
         (F.col("page_count") == 0, False, "invalid", "EMPTY_PDF", 0.0),
         (F.col("page_count") > MAX_PAGES, False, "invalid", "TOO_MANY_PAGES", 0.0),
         ((F.col("text_length") < MIN_TEXT_LENGTH) & F.col("_media"), False, "scanned", "NO_TEXT_CONTENT", 0.3),

@@ -27,10 +27,15 @@ against ``/U`` with the reference's trimmed-password retry
 (pdf_validator.py:113-134) and reports ``ENCRYPTED_NO_PASSWORD`` /
 ``WRONG_PASSWORD`` so the raw-bytes ingest can exercise V4 on real bytes.
 
-Scope honestly stated: no AES (/V 4-5), no object streams (PDF 1.5 xref
-streams), no CID fonts; strings are utf-8 bytes. That covers every PDF this
-engine writes and the round-trip property test pins codec(decode∘encode)=id
-over the whole generator corpus.
+PDF 1.5: ``/Type /ObjStm`` compressed object streams are decoded (expanded
+into the object table after decryption) and optionally emitted
+(``encode_pdf(..., object_streams=True)`` packs all non-stream objects into
+one ObjStm and writes a binary ``/Type /XRef`` cross-reference stream
+instead of the classic table+trailer).
+
+Scope honestly stated: no AES (/V 4-5), no CID fonts; strings are utf-8
+bytes. That covers every PDF this engine writes and the round-trip property
+test pins codec(decode∘encode)=id over the whole generator corpus.
 """
 
 from __future__ import annotations
@@ -205,12 +210,16 @@ def encode_pdf(
     password: str | None = None,
     owner_password: str | None = None,
     security_rev: int = 2,
+    object_streams: bool = False,
 ) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
     ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
     With ``password``, emits a standard-security-handler encrypted PDF
     (rev 2: V=1 40-bit RC4; rev 3: V=2 128-bit RC4; deterministic /ID =
-    MD5 of the plaintext objects)."""
+    MD5 of the plaintext objects). With ``object_streams``, emits a real
+    PDF 1.5 file: all non-stream objects packed into a ``/Type /ObjStm``
+    and a binary cross-reference STREAM (``/Type /XRef``, ``/W [1 4 2]``)
+    instead of the classic table+trailer."""
     pages: list[list[tuple]] = [[]]
     media_refs: list[str] = []
     for kind, text, media_ref, _off in spans:
@@ -275,7 +284,42 @@ def encode_pdf(
         + str(len(page_nums)).encode() + b" >>"
     )
 
+    objstm_num = None
+    packed_index: dict[int, int] = {}
+    if object_streams:
+        # pack every non-stream object (catalog, pages tree, page dicts,
+        # font) into one compressed object stream; stream objects must stay
+        # top-level (spec 7.5.7)
+        packed_nums = sorted(
+            n for n, b_ in objs.items() if not re.search(rb"stream\r?\n", b_)
+        )
+        offs: list[int] = []
+        cur = 0
+        for n in packed_nums:
+            offs.append(cur)
+            cur += len(objs[n]) + 1
+        header = b" ".join(
+            str(n).encode() + b" " + str(o).encode()
+            for n, o in zip(packed_nums, offs)
+        )
+        first = len(header) + 1
+        payload = header + b"\n" + b"\n".join(objs[n] for n in packed_nums)
+        packed_index = {n: i for i, n in enumerate(packed_nums)}
+        for n in packed_nums:
+            del objs[n]
+        stm = zlib.compress(payload)
+        objstm_num = next_num
+        next_num += 1
+        objs[objstm_num] = (
+            b"<< /Type /ObjStm /N " + str(len(packed_nums)).encode()
+            + b" /First " + str(first).encode()
+            + b" /Filter /FlateDecode /Length " + str(len(stm)).encode()
+            + b" >>\nstream\n" + stm + b"\nendstream"
+        )
+
     trailer_extra = b""
+    enc_num = None
+    id_hex = b""
     if password is not None:
         rev = security_rev
         keylen = 5 if rev == 2 else 16
@@ -288,6 +332,7 @@ def encode_pdf(
             if b"stream" in objs[num]:
                 objs[num] = _encrypt_stream_obj(objs[num], _object_key(fkey, num))
         enc_num = next_num
+        next_num += 1
         objs[enc_num] = (
             b"<< /Filter /Standard /V " + str(v).encode()
             + b" /R " + str(rev).encode()
@@ -302,22 +347,53 @@ def encode_pdf(
             b" /ID [<" + id_hex + b"> <" + id_hex + b">]"
         )
 
-    out = bytearray(b"%PDF-1.4\n")
+    out = bytearray(b"%PDF-1.5\n" if object_streams else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
         offsets[num] = len(out)
         out += str(num).encode() + b" 0 obj\n" + objs[num] + b"\nendobj\n"
-    xref_at = len(out)
-    n_max = max(objs) + 1
-    out += b"xref\n0 " + str(n_max).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_max):
-        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(n_max).encode() + b" /Root 1 0 R"
-        + trailer_extra + b" >>\n"
-        b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
-    )
+
+    if object_streams:
+        # binary cross-reference STREAM (spec 7.5.8) — never encrypted;
+        # type-2 rows point packed objects at (objstm, index)
+        xref_num = max(objs) + 1
+        size = xref_num + 1
+        xref_off = len(out)
+        rows = bytearray()
+        for num in range(size):
+            if num == xref_num:
+                t, f2, f3 = 1, xref_off, 0
+            elif num in offsets:
+                t, f2, f3 = 1, offsets[num], 0
+            elif num in packed_index:
+                t, f2, f3 = 2, objstm_num, packed_index[num]
+            else:
+                t, f2, f3 = 0, 0, 0xFFFF if num == 0 else 0
+            rows += bytes([t]) + struct.pack(">I", f2) + struct.pack(">H", f3)
+        xdata = zlib.compress(bytes(rows))
+        xdict = (
+            b"<< /Type /XRef /Size " + str(size).encode()
+            + b" /W [1 4 2] /Index [0 " + str(size).encode()
+            + b"] /Filter /FlateDecode /Length " + str(len(xdata)).encode()
+            + b" /Root 1 0 R" + trailer_extra + b" >>"
+        )
+        out += (
+            str(xref_num).encode() + b" 0 obj\n" + xdict
+            + b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    else:
+        xref_at = len(out)
+        n_max = max(objs) + 1
+        out += b"xref\n0 " + str(n_max).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_max):
+            out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(n_max).encode() + b" /Root 1 0 R"
+            + trailer_extra + b" >>\n"
+            b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        )
     return bytes(out)
 
 
@@ -506,6 +582,38 @@ def _encryption_context(
     return (None, rev, keylen, o_entry, u_entry, p, file_id)
 
 
+def _expand_object_streams(objs: dict[int, bytes], fetch_stream) -> bool:
+    """PDF 1.5 compressed object streams: decompress every ``/Type /ObjStm``
+    and merge its embedded objects into ``objs`` (top-level definitions win
+    on duplicates — the scanner's conservative rule). The stream layout is
+    ``/N`` pairs of ``objnum offset`` integers, then object bodies starting
+    at ``/First``. Returns False on a structurally-broken ObjStm."""
+    for num in list(objs):
+        body = objs[num]
+        sm = re.search(rb"stream\r?\n", body)
+        head = body[: sm.start()] if sm else body
+        if b"/ObjStm" not in head:  # head only: stream BYTES could collide
+            continue
+        n_objs = _int_value(head, b"/N")
+        first = _int_value(head, b"/First")
+        if n_objs is None or first is None:
+            return False
+        data = fetch_stream(num)
+        if data is None:
+            return False
+        pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n_objs]
+        if len(pairs) != n_objs:
+            return False
+        for i, (onum, off) in enumerate(pairs):
+            start = first + int(off)
+            end = (
+                first + int(pairs[i + 1][1]) if i + 1 < n_objs else len(data)
+            )
+            if int(onum) not in objs:  # top-level wins
+                objs[int(onum)] = data[start:end]
+    return True
+
+
 def _page_numbers(objs: dict[int, bytes]) -> list[int] | None:
     """Catalog → Pages tree → ordered page object numbers."""
     roots = [n for n, b in objs.items() if b"/Type /Catalog" in b or b"/Type/Catalog" in b]
@@ -629,9 +737,11 @@ def decode_pdf_bytes_ex(
     of ``OK`` / ``CORRUPTED`` / ``ENCRYPTED_NO_PASSWORD`` / ``WRONG_PASSWORD``
     — the same codes the validator quarantines with, so the raw-bytes path
     reproduces pdf_validator.py:113-134 (including the ``strip()``-retry) on
-    real encrypted bytes."""
-    if not isinstance(payload, (bytes, bytearray)) or not payload.startswith(b"%PDF-"):
-        return None, "CORRUPTED"
+    real encrypted bytes. Magic-bytes failure is ``NOT_PDF`` (the 4-byte
+    ``%PDF`` check, pdf_validator.py:75-89), distinct from structural
+    ``CORRUPTED``."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"%PDF":
+        return None, "NOT_PDF"
     objs = _parse_objects(bytes(payload))
     if not objs:
         return None, "CORRUPTED"
@@ -662,6 +772,8 @@ def decode_pdf_bytes_ex(
         )
         return _stream_data(ob, objs, decrypt=dec)
 
+    if not _expand_object_streams(objs, fetch_stream):
+        return None, "CORRUPTED"
     page_nums = _page_numbers(objs)
     if not page_nums:
         return None, "CORRUPTED"

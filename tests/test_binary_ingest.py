@@ -123,6 +123,69 @@ def test_unescape_name_truncated_escape():
     assert _unescape_name(b"a#20b") == "a b"
 
 
+@pytest.mark.parametrize("password", [None, "pw x"])
+def test_pdf_codec_object_streams_round_trip(password):
+    """PDF 1.5: non-stream objects packed in /Type /ObjStm + binary /XRef
+    stream (no classic trailer) must round-trip, plain and encrypted."""
+    from aide_spark.sources.pdf_codec import decode_pdf_bytes_ex, encode_pdf
+
+    checked = 0
+    for d in corpus(24):
+        if d["spans"] is None:
+            continue
+        want = [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m, _o) in enumerate(d["spans"])
+        ]
+        pdf = encode_pdf(d["spans"], password=password, object_streams=True)
+        assert pdf.startswith(b"%PDF-1.5") and b"trailer" not in pdf
+        got, status = decode_pdf_bytes_ex(pdf, password)
+        assert (status, got) == ("OK", want), d["doc_id"]
+        checked += 1
+    assert checked > 12
+
+
+def test_pdf_codec_foreign_object_stream_fixture():
+    """Hand-built ObjStm fixture with a layout the encoder never produces
+    (objects out of numeric order inside the stream, multi-space pair
+    separators, catalog itself packed) — proves the decoder parses the spec
+    shape, not just its own output."""
+    import zlib
+
+    from aide_spark.sources.pdf_codec import decode_pdf_bytes
+
+    # packed objects: 1=catalog, 2=pages, 4=page (content stays top-level 3)
+    page = b"<< /Type /Page /Parent 2 0 R /Contents 3 0 R >>"
+    pages = b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    bodies = [(4, page), (1, catalog), (2, pages)]  # deliberately unordered
+    offs, cur = [], 0
+    for _n, b_ in bodies:
+        offs.append(cur)
+        cur += len(b_) + 1
+    header = b"  ".join(  # double-space separators are legal whitespace
+        b"%d  %d" % (n, o) for (n, _), o in zip(bodies, offs)
+    )
+    payload = header + b"\n" + b"\n".join(b_ for _n, b_ in bodies)
+    stm = zlib.compress(payload)
+    content = b"BT (from objstm fixture) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    out += (
+        b"3 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n"
+    )
+    out += (
+        b"5 0 obj\n<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(header) + 1, len(stm))
+        + stm + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n0\n%%EOF\n"  # no classic trailer at all
+    got = decode_pdf_bytes(bytes(out))
+    assert got == [
+        {"kind": "text", "text": "from objstm fixture", "media_ref": "", "offset": 0}
+    ]
+
+
 def test_rc4_known_answer_vectors():
     """Pin the hand-rolled RC4 against published test vectors (no crypto
     library in the sandbox, so the primitive is verified by known answers)."""
@@ -200,6 +263,7 @@ def test_encrypted_pdf_e2e_quarantine(spark):
         ("missing", bytearray(pdf), None),
         ("plain", bytearray(encode_pdf(doc["spans"])), None),
         ("garbage", bytearray(b"%PDF-1.4 not really"), None),
+        ("notpdf", bytearray(b"GIF89a definitely an image"), None),
     ]
     binary = spark.createDataFrame(
         rows, "doc_id string, content binary, password string"
@@ -213,7 +277,8 @@ def test_encrypted_pdf_e2e_quarantine(spark):
     assert val["wrong"].error_code == "WRONG_PASSWORD"
     assert val["missing"].error_code == "ENCRYPTED_NO_PASSWORD"
     assert val["plain"].error_code == "VALID"
-    assert val["garbage"].error_code == "CORRUPTED"
+    assert val["garbage"].error_code == "CORRUPTED"  # %PDF magic, broken inside
+    assert val["notpdf"].error_code == "NOT_PDF"  # magic-bytes gate (V1)
     spans = {
         r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
         for r in decoded.collect()

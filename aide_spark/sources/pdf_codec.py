@@ -19,11 +19,14 @@ self-contained subset implementation:
   how a real extractor would have to recover an image identity).
 
 Encryption: the PDF standard security handler (spec 7.6.3) is implemented
-from scratch — RC4 (hand-rolled, ~15 lines) + MD5 key derivation
-(Algorithm 2), owner/user entries (Algorithms 3-5), revisions 2 and 3
-(40..128-bit keys). ``encode_pdf(..., password=...)`` emits an encrypted
-R=2 PDF with a deterministic ``/ID``; ``decode_pdf_bytes_ex`` authenticates
-against ``/U`` with the reference's trimmed-password retry
+from scratch, ALL variants — RC4 (hand-rolled) + MD5 key derivation
+(Algorithm 2), owner/user entries (Algorithms 3-5), revisions 2-4; AESV2
+(/V 4, AES-128-CBC crypt filter, ``sAlT`` object keys) and AESV3 (/V 5
+R=6, AES-256 + the SHA-2 hardened hash, Algorithm 2.B) on the from-scratch
+AES in :mod:`aide_spark.sources.aes` (FIPS-197 vector-pinned).
+``encode_pdf(..., password=..., cipher=...)`` emits each variant with a
+deterministic ``/ID``; ``decode_pdf_bytes_ex`` authenticates (user or
+owner password) with the reference's trimmed-password retry
 (pdf_validator.py:113-134) and reports ``ENCRYPTED_NO_PASSWORD`` /
 ``WRONG_PASSWORD`` so the raw-bytes ingest can exercise V4 on real bytes.
 
@@ -33,9 +36,10 @@ into the object table after decryption) and optionally emitted
 one ObjStm and writes a binary ``/Type /XRef`` cross-reference stream
 instead of the classic table+trailer).
 
-Scope honestly stated: no AES (/V 4-5), no CID fonts; strings are utf-8
-bytes. That covers every PDF this engine writes and the round-trip property
-test pins codec(decode∘encode)=id over the whole generator corpus.
+Scope honestly stated: no CID fonts; strings are utf-8 bytes; pure-Python
+AES is sized for the rare encrypted-doc path, not bulk data. That covers
+every PDF this engine writes and the round-trip property test pins
+codec(decode∘encode)=id over the whole generator corpus.
 """
 
 from __future__ import annotations
@@ -157,12 +161,58 @@ def _user_entry(file_key: bytes, rev: int, file_id: bytes) -> bytes:
     return u + b"\x00" * 16  # 16 bytes arbitrary padding (spec note)
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Per-object RC4 key: MD5(file_key + objnum[0:3] + gennum[0:2])."""
+def _object_key(
+    file_key: bytes, num: int, gen: int = 0, aes: bool = False
+) -> bytes:
+    """Per-object key: MD5(file_key + objnum[0:3] + gennum[0:2]); AESV2
+    appends the spec's ``sAlT`` constant (7.6.2 Algorithm 1)."""
     h = hashlib.md5(
         file_key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Algorithm 2.B (PDF 2.0 / AESV3 R=6): SHA-2 hardened password hash."""
+    from .aes import cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k1, k[:16], k[16:32], pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _authenticate_r6(
+    password: str, o_entry: bytes, u_entry: bytes,
+    oe_entry: bytes | None, ue_entry: bytes | None,
+) -> bytes | None:
+    """AESV3 (R=6) user/owner authentication → 32-byte file key or None.
+    U/O are 48 bytes: hash(32) + validation salt(8) + key salt(8); the file
+    key is AES-256-CBC-decrypted (zero IV, no padding) from UE/OE."""
+    from .aes import cbc_decrypt
+
+    pw = password.encode("utf-8")[:127]
+    if len(u_entry) >= 48 and _hash_2b(pw, u_entry[32:40], b"") == u_entry[:32]:
+        if ue_entry is None:
+            return None
+        ikey = _hash_2b(pw, u_entry[40:48], b"")
+        return cbc_decrypt(ue_entry[:32], ikey, b"\x00" * 16, unpad=False)
+    if (
+        oe_entry is not None
+        and len(o_entry) >= 48
+        and _hash_2b(pw, o_entry[32:40], u_entry[:48]) == o_entry[:32]
+    ):
+        ikey = _hash_2b(pw, o_entry[40:48], u_entry[:48])
+        return cbc_decrypt(oe_entry[:32], ikey, b"\x00" * 16, unpad=False)
+    return None
 
 
 def _authenticate(
@@ -191,17 +241,23 @@ def _escape_string(text: str) -> bytes:
     )
 
 
-def _encrypt_stream_obj(body: bytes, key: bytes) -> bytes:
-    """RC4-encrypt the stream payload inside an object body in place
-    (encryption applies AFTER filters, so FlateDecode data is what's
-    encrypted; RC4 preserves length so /Length stays valid)."""
+def _encrypt_stream_obj(body: bytes, enc_fn) -> bytes:
+    """Encrypt the stream payload inside an object body (encryption applies
+    AFTER filters, so FlateDecode data is what's encrypted) and patch
+    ``/Length`` — AES prepends a 16-byte IV and pads, so the stream grows."""
     m = re.search(rb"stream\r?\n", body)
     if not m:
         return body
-    lm = re.search(rb"/Length\s+(\d+)", body[: m.start()])
+    head = body[: m.start()]
+    lm = re.search(rb"/Length\s+(\d+)", head)
     n = int(lm.group(1))
-    data = body[m.end() : m.end() + n]
-    return body[: m.end()] + _rc4(key, data) + body[m.end() + n :]
+    data = enc_fn(body[m.end() : m.end() + n])
+    head = (
+        head[: lm.start()]
+        + b"/Length " + str(len(data)).encode()
+        + head[lm.end() :]
+    )
+    return head + body[m.start() : m.end()] + data + body[m.end() + n :]
 
 
 def encode_pdf(
@@ -210,16 +266,19 @@ def encode_pdf(
     password: str | None = None,
     owner_password: str | None = None,
     security_rev: int = 2,
+    cipher: str = "rc4",
     object_streams: bool = False,
 ) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
     ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
-    With ``password``, emits a standard-security-handler encrypted PDF
-    (rev 2: V=1 40-bit RC4; rev 3: V=2 128-bit RC4; deterministic /ID =
-    MD5 of the plaintext objects). With ``object_streams``, emits a real
-    PDF 1.5 file: all non-stream objects packed into a ``/Type /ObjStm``
-    and a binary cross-reference STREAM (``/Type /XRef``, ``/W [1 4 2]``)
-    instead of the classic table+trailer."""
+    With ``password``, emits a standard-security-handler encrypted PDF —
+    ``cipher``: ``rc4`` (``security_rev`` 2: V=1 40-bit; 3: V=2 128-bit),
+    ``aesv2`` (V=4/R=4, AES-128-CBC crypt filter) or ``aesv3`` (V=5/R=6,
+    AES-256 with the SHA-2 hardened hash); all /ID, salts and IVs derive
+    deterministically from the plaintext objects. With ``object_streams``,
+    emits a real PDF 1.5 file: all non-stream objects packed into a
+    ``/Type /ObjStm`` and a binary cross-reference STREAM (``/Type /XRef``,
+    ``/W [1 4 2]``) instead of the classic table+trailer."""
     pages: list[list[tuple]] = [[]]
     media_refs: list[str] = []
     for kind, text, media_ref, _off in spans:
@@ -321,26 +380,101 @@ def encode_pdf(
     enc_num = None
     id_hex = b""
     if password is not None:
-        rev = security_rev
-        keylen = 5 if rev == 2 else 16
-        v = 1 if rev == 2 else 2
         file_id = hashlib.md5(b"".join(objs[n] for n in sorted(objs))).digest()
-        o_entry = _owner_entry(owner_password or password, password, rev, keylen)
-        fkey = _file_key(password, o_entry, _DEFAULT_P, file_id, rev, keylen)
-        u_entry = _user_entry(fkey, rev, file_id)
+
+        def det_iv(num: int) -> bytes:  # deterministic per-object IV
+            return hashlib.md5(file_id + b"iv" + str(num).encode()).digest()
+
+        if cipher == "aesv3":
+            from .aes import cbc_encrypt, encrypt_block
+
+            fkey = hashlib.sha256(file_id + b"filekey").digest()
+            pw = password.encode("utf-8")[:127]
+            opw = (owner_password or password).encode("utf-8")[:127]
+            uv, uk = (
+                hashlib.md5(file_id + b"uv").digest()[:8],
+                hashlib.md5(file_id + b"uk").digest()[:8],
+            )
+            ov, ok = (
+                hashlib.md5(file_id + b"ov").digest()[:8],
+                hashlib.md5(file_id + b"ok").digest()[:8],
+            )
+            u_entry = _hash_2b(pw, uv, b"") + uv + uk
+            ue_entry = cbc_encrypt(
+                fkey, _hash_2b(pw, uk, b""), b"\x00" * 16, pad=False
+            )
+            o_entry = _hash_2b(opw, ov, u_entry[:48]) + ov + ok
+            oe_entry = cbc_encrypt(
+                fkey, _hash_2b(opw, ok, u_entry[:48]), b"\x00" * 16, pad=False
+            )
+            perms = encrypt_block(
+                struct.pack("<i", _DEFAULT_P) + b"\xff\xff\xff\xffTadb"
+                + file_id[:4],
+                fkey,
+            )
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O <" + o_entry.hex().encode()
+                + b"> /U <" + u_entry.hex().encode()
+                + b"> /OE <" + oe_entry.hex().encode()
+                + b"> /UE <" + ue_entry.hex().encode()
+                + b"> /Perms <" + perms.hex().encode()
+                + b"> /P " + str(_DEFAULT_P).encode() + b" >>"
+            )
+
+            def enc_fn(num: int):
+                from .aes import cbc_encrypt as _cbc
+
+                return lambda d, n=num: det_iv(n) + _cbc(d, fkey, det_iv(n))
+
+        elif cipher == "aesv2":
+            rev, keylen = 4, 16
+            o_entry = _owner_entry(owner_password or password, password, rev, keylen)
+            fkey = _file_key(password, o_entry, _DEFAULT_P, file_id, rev, keylen)
+            u_entry = _user_entry(fkey, rev, file_id)
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O <" + o_entry.hex().encode()
+                + b"> /U <" + u_entry.hex().encode()
+                + b"> /P " + str(_DEFAULT_P).encode() + b" >>"
+            )
+
+            def enc_fn(num: int):
+                from .aes import cbc_encrypt as _cbc
+
+                key = _object_key(fkey, num, aes=True)
+                return lambda d, k=key, n=num: det_iv(n) + _cbc(d, k, det_iv(n))
+
+        else:  # classic RC4
+            rev = security_rev
+            keylen = 5 if rev == 2 else 16
+            v = 1 if rev == 2 else 2
+            o_entry = _owner_entry(owner_password or password, password, rev, keylen)
+            fkey = _file_key(password, o_entry, _DEFAULT_P, file_id, rev, keylen)
+            u_entry = _user_entry(fkey, rev, file_id)
+            enc_dict = (
+                b"<< /Filter /Standard /V " + str(v).encode()
+                + b" /R " + str(rev).encode()
+                + b" /Length " + str(keylen * 8).encode()
+                + b" /O <" + o_entry.hex().encode()
+                + b"> /U <" + u_entry.hex().encode()
+                + b"> /P " + str(_DEFAULT_P).encode() + b" >>"
+            )
+
+            def enc_fn(num: int):
+                key = _object_key(fkey, num)
+                return lambda d, k=key: _rc4(k, d)
+
         for num in list(objs):
-            if b"stream" in objs[num]:
-                objs[num] = _encrypt_stream_obj(objs[num], _object_key(fkey, num))
+            if re.search(rb"stream\r?\n", objs[num]):
+                objs[num] = _encrypt_stream_obj(objs[num], enc_fn(num))
         enc_num = next_num
         next_num += 1
-        objs[enc_num] = (
-            b"<< /Filter /Standard /V " + str(v).encode()
-            + b" /R " + str(rev).encode()
-            + b" /Length " + str(keylen * 8).encode()
-            + b" /O <" + o_entry.hex().encode()
-            + b"> /U <" + u_entry.hex().encode()
-            + b"> /P " + str(_DEFAULT_P).encode() + b" >>"
-        )
+        objs[enc_num] = enc_dict
         id_hex = file_id.hex().encode()
         trailer_extra = (
             b" /Encrypt " + str(enc_num).encode() + b" 0 R"
@@ -480,6 +614,8 @@ def _stream_data(
                 data = data[:-1]
     if decrypt is not None:
         data = decrypt(data)  # decryption precedes filters (spec 7.6.2)
+        if data is None:  # malformed AES length/padding → quarantine
+            return None
     if flate:
         try:
             data = zlib.decompress(data)
@@ -548,13 +684,11 @@ def _int_value(body: bytes, key: bytes, default: int | None = None) -> int | Non
     return int(m.group(1)) if m else default
 
 
-def _encryption_context(
-    payload: bytes, objs: dict[int, bytes]
-) -> tuple[bytes | None, int, int, bytes, bytes, int, bytes] | None:
-    """Locate the trailer's /Encrypt + /ID; return
-    (None-sentinel unused, rev, keylen, o_entry, u_entry, p, file_id) or
-    None when the document is unencrypted. Raises ValueError when the
-    encryption dict is present but unsupported/malformed (CORRUPTED path)."""
+def _encryption_context(payload: bytes, objs: dict[int, bytes]) -> dict | None:
+    """Locate the trailer's /Encrypt + /ID; classify the handler (RC4 /V 1-2,
+    AESV2 /V 4, AESV3 /V 5) and return its parameters, or None when the
+    document is unencrypted. Raises ValueError when the encryption dict is
+    present but unsupported/malformed (CORRUPTED path)."""
     t = payload.rfind(b"trailer")
     tail = payload[t:] if t >= 0 else payload
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail)
@@ -565,11 +699,20 @@ def _encryption_context(
         raise ValueError("missing encrypt dict")
     v = _int_value(enc, b"/V", 0)
     rev = _int_value(enc, b"/R", 2)
-    if v not in (1, 2) or rev not in (2, 3):
-        raise ValueError("unsupported security handler")  # AES etc.
+    if v in (1, 2) and rev in (2, 3):
+        scheme = "rc4"
+    elif v == 4 and rev == 4:
+        # crypt-filter container: /CFM /AESV2 (AES-128) or /V2 (RC4)
+        scheme = "aesv2" if b"/AESV2" in enc else "rc4"
+    elif v == 5 and rev in (5, 6):
+        scheme = "aesv3"
+    else:
+        raise ValueError("unsupported security handler")
     keylen = (_int_value(enc, b"/Length", 40) or 40) // 8 if rev >= 3 else 5
     if rev == 2:
         keylen = 5
+    if scheme == "aesv3":
+        keylen = 32
     o_entry = _string_value(enc, b"/O")
     u_entry = _string_value(enc, b"/U")
     p = _int_value(enc, b"/P", _DEFAULT_P)
@@ -579,7 +722,17 @@ def _encryption_context(
         file_id = _string_value(b"/ID " + idm.group(1), b"/ID") or b""
     if o_entry is None or u_entry is None:
         raise ValueError("malformed encrypt dict")
-    return (None, rev, keylen, o_entry, u_entry, p, file_id)
+    return {
+        "scheme": scheme,
+        "rev": rev,
+        "keylen": keylen,
+        "o": o_entry,
+        "u": u_entry,
+        "oe": _string_value(enc, b"/OE"),
+        "ue": _string_value(enc, b"/UE"),
+        "p": p,
+        "file_id": file_id,
+    }
 
 
 def _expand_object_streams(objs: dict[int, bytes], fetch_stream) -> bool:
@@ -747,19 +900,27 @@ def decode_pdf_bytes_ex(
         return None, "CORRUPTED"
 
     fkey: bytes | None = None
+    scheme: str | None = None
     try:
         enc = _encryption_context(bytes(payload), objs)
     except ValueError:
         return None, "CORRUPTED"
     if enc is not None:
-        _, rev, keylen, o_entry, u_entry, p, file_id = enc
+        scheme = enc["scheme"]
         if not password:  # reference: `if not password:` (empty counts)
             return None, "ENCRYPTED_NO_PASSWORD"
-        fkey = _authenticate(password, o_entry, u_entry, p, file_id, rev, keylen)
-        if fkey is None and password.strip() != password:
-            fkey = _authenticate(
-                password.strip(), o_entry, u_entry, p, file_id, rev, keylen
+
+        def try_pw(pw: str) -> bytes | None:
+            if scheme == "aesv3":
+                return _authenticate_r6(pw, enc["o"], enc["u"], enc["oe"], enc["ue"])
+            return _authenticate(
+                pw, enc["o"], enc["u"], enc["p"], enc["file_id"],
+                enc["rev"], enc["keylen"],
             )
+
+        fkey = try_pw(password)
+        if fkey is None and password.strip() != password:
+            fkey = try_pw(password.strip())  # trimmed retry (V4)
         if fkey is None:
             return None, "WRONG_PASSWORD"
 
@@ -767,9 +928,23 @@ def decode_pdf_bytes_ex(
         ob = objs.get(num)
         if ob is None:
             return None
-        dec = (
-            (lambda d, n=num: _rc4(_object_key(fkey, n), d)) if fkey else None
-        )
+        dec = None
+        if fkey is not None:
+            if scheme == "rc4":
+                dec = lambda d, n=num: _rc4(_object_key(fkey, n), d)
+            else:
+                from .aes import cbc_decrypt
+
+                if scheme == "aesv2":
+                    dec = lambda d, n=num: (
+                        cbc_decrypt(d[16:], _object_key(fkey, n, aes=True), d[:16])
+                        if len(d) >= 16
+                        else None
+                    )
+                else:  # aesv3: the file key is used directly
+                    dec = lambda d: (
+                        cbc_decrypt(d[16:], fkey, d[:16]) if len(d) >= 16 else None
+                    )
         return _stream_data(ob, objs, decrypt=dec)
 
     if not _expand_object_streams(objs, fetch_stream):

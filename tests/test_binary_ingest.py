@@ -200,11 +200,54 @@ def test_rc4_known_answer_vectors():
     assert _rc4(b"Key", _rc4(b"Key", b"round trip")) == b"round trip"
 
 
-@pytest.mark.parametrize("rev,compress", [(2, True), (2, False), (3, True)])
-def test_pdf_codec_encrypted_round_trip(rev, compress):
+def test_aes_known_answer_vectors():
+    """Pin the from-scratch AES against FIPS-197 appendix C and NIST SP
+    800-38A F.2 (CBC) known answers."""
+    from aide_spark.sources.aes import (
+        cbc_decrypt, cbc_encrypt, decrypt_block, encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert encrypt_block(pt, k128) == bytes.fromhex(
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )  # FIPS-197 C.1
+    assert encrypt_block(pt, k256) == bytes.fromhex(
+        "8ea2b7ca516745bfeafc49904b496089"
+    )  # FIPS-197 C.3
+    assert decrypt_block(encrypt_block(pt, k128), k128) == pt
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    data = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    ct = cbc_encrypt(data, key, iv, pad=False)
+    assert ct == bytes.fromhex("7649abac8119b246cee98e9b12e9197d")  # F.2.1
+    assert cbc_decrypt(ct, key, iv, unpad=False) == data
+    for n in (0, 1, 15, 16, 17, 33):  # PKCS#7 round trip incl. boundaries
+        assert cbc_decrypt(cbc_encrypt(bytes(range(n)), key, iv), key, iv) == bytes(
+            range(n)
+        )
+    assert cbc_decrypt(b"short", key, iv) is None  # malformed → quarantine
+
+
+@pytest.mark.parametrize(
+    "cipher,rev,compress",
+    [
+        ("rc4", 2, True),
+        ("rc4", 2, False),
+        ("rc4", 3, True),
+        ("aesv2", 4, True),
+        ("aesv3", 6, True),
+    ],
+)
+def test_pdf_codec_encrypted_round_trip(cipher, rev, compress):
     """decode(encode(spans, password)) == spans across the generator corpus
-    for the standard security handler, revisions 2 (40-bit) and 3 (128-bit);
-    wrong/missing passwords report the reference's quarantine codes."""
+    for every standard-security-handler variant — RC4 revisions 2 (40-bit)
+    and 3 (128-bit), AESV2 (V=4/R=4, AES-128-CBC) and AESV3 (V=5/R=6,
+    AES-256 + SHA-2 hardened hash); wrong/missing passwords report the
+    reference's quarantine codes."""
     from aide_spark.sources.pdf_codec import decode_pdf_bytes_ex, encode_pdf
 
     checked = 0
@@ -217,7 +260,7 @@ def test_pdf_codec_encrypted_round_trip(rev, compress):
         ]
         pdf = encode_pdf(
             d["spans"], compress=compress, password="pw-" + d["doc_id"],
-            security_rev=rev,
+            security_rev=rev if cipher == "rc4" else 2, cipher=cipher,
         )
         got, status = decode_pdf_bytes_ex(pdf, "pw-" + d["doc_id"])
         assert (status, got) == ("OK", want), d["doc_id"]
@@ -228,9 +271,9 @@ def test_pdf_codec_encrypted_round_trip(rev, compress):
         assert decode_pdf_bytes_ex(pdf, "")[1] == "ENCRYPTED_NO_PASSWORD"
         assert decode_pdf_bytes_ex(pdf, "nope")[1] == "WRONG_PASSWORD"
         checked += 1
-        if checked >= 8:
+        if checked >= (4 if cipher != "rc4" else 8):  # pure-python AES cost
             break
-    assert checked == 8
+    assert checked == (4 if cipher != "rc4" else 8)
 
 
 def test_pdf_codec_encrypted_no_plaintext_leak():

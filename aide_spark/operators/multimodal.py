@@ -2,12 +2,16 @@
 Arrow-batched vectorized UDFs over ``mapInPandas`` (SURVEY.md §2.12(a) — the
 only place Python touches row data, and only in Arrow batches).
 
-The actual byte→pixels/samples decode is a STUB: image/audio libraries are
-not available in this environment, so :func:`_fake_decode` derives
-deterministic pseudo-features from the bytes. Everything Spark-side — the
-schema contract, the Arrow batch shape, partition-parallel execution — is
-real and what matters at 100 TB: decode parallelism scales with partitions,
-and the per-batch loop amortizes Python dispatch over thousands of rows.
+Image decode is REAL for PNG and binary PNM — the from-scratch codecs in
+:mod:`aide_spark.operators.image_codec` (stdlib zlib inflate + scanline
+unfilter; no image library needed). Formats outside that envelope (JPEG,
+audio, video — which DO need native libs this environment lacks) fall back
+to :func:`_fake_decode`, a deterministic stand-in, and are labeled
+``stub/v1`` in the ``codec`` column so downstream can tell. Everything
+Spark-side — the schema contract, the Arrow batch shape, partition-parallel
+execution — is identical for both paths, which is what matters at 100 TB:
+decode parallelism scales with partitions, and the per-batch loop amortizes
+Python dispatch over thousands of rows.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
+
+from .image_codec import decode_image
 
 FEATURE_SCHEMA = StructType(
     [
@@ -31,16 +37,62 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, float, str]:
-    """Deterministic stand-in for a real media decode.
-
-    Real implementation would be e.g. PIL.Image.open / av.open here —
-    gated behind an import-try; see decode_features().
-    """
+    """Deterministic stand-in for formats outside the real-codec envelope
+    (JPEG/audio/video need native libs this environment lacks)."""
     n = len(payload)
     checksum = sum(payload[:256]) if n else 0
     n_frames = 1 + checksum % 30
     feature_0 = round((checksum % 1000) / 1000.0, 6)
     return n_frames, feature_0, "stub/v1"
+
+
+def _decode(payload: bytes) -> tuple[int, float, str]:
+    """Real image decode when the magic bytes say PNG/PNM; stub otherwise.
+    feature_0 for real images = mean sample value normalized to [0, 1]."""
+    img = decode_image(payload)
+    if img is None:
+        return _fake_decode(payload)
+    w, h, nch, px = img
+    mean = (sum(px) / len(px) / 255.0) if px else 0.0
+    return 1, round(mean, 6), "png" if payload[:1] == b"\x89" else "pnm"
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("codec", StringType(), False),
+    ]
+)
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload binary) → real image features (width/height/channels/
+    mean sample value); NULL dims for undecodable payloads. Same Arrow-batch
+    shape as :func:`decode_features` — the typed-metadata surface of the
+    north star's media columns."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_image(b if b is not None else b"")
+                if img is None:
+                    rows.append((int(doc_id), None, None, None, None, "undecodable"))
+                else:
+                    w, h, nch, px = img
+                    mean = round(sum(px) / len(px) / 255.0, 6) if px else 0.0
+                    rows.append(
+                        (int(doc_id), w, h, nch, mean,
+                         "png" if bytes(b[:1]) == b"\x89" else "pnm")
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -54,7 +106,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode(b if b is not None else b"") for b in pdf[payload_col]]
+            decoded = [_decode(b if b is not None else b"") for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -1,0 +1,159 @@
+"""Real image decode (from-scratch PNG/PNM codecs) + the Arrow-batched
+multimodal feature surface."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from aide_spark.operators.image_codec import (
+    decode_image, decode_png, decode_pnm, encode_png, encode_pnm,
+)
+
+
+def _pixels(w: int, h: int, nch: int) -> bytes:
+    return bytes((x * 7 + 13) % 256 for x in range(w * h * nch))
+
+
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+def test_png_round_trip_all_channel_counts(nch):
+    w, h = 9, 5  # odd width exercises stride math
+    px = _pixels(w, h, nch)
+    assert decode_png(encode_png(w, h, nch, px)) == (w, h, nch, px)
+
+
+def test_png_foreign_filters_decode():
+    """The encoder only emits filter 0 — hand-build scanlines with filters
+    1-4 (Sub/Up/Average/Paeth) so the decoder is proven against the spec,
+    not just its own output."""
+    w, h, nch = 6, 5, 3
+    px = _pixels(w, h, nch)
+    stride = w * nch
+
+    rows = [bytearray(px[r * stride : (r + 1) * stride]) for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    prev = bytes(stride)
+    for r, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = rows[r]
+        out = bytearray(cur)
+        if ftype == 1:
+            for x in range(stride - 1, nch - 1, -1):
+                out[x] = (cur[x] - cur[x - nch]) & 0xFF
+        elif ftype == 2:
+            for x in range(stride):
+                out[x] = (cur[x] - prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                out[x] = (cur[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                out[x] = (cur[x] - paeth(a, prev[x], c)) & 0xFF
+        filtered += bytes([ftype]) + out
+        prev = bytes(cur)
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, nch, px)
+
+
+def test_png_palette_expands_to_rgb():
+    # 2x2 palette image: indices 0..3 → distinct RGB triples
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (
+        2, 2, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    )
+
+
+@pytest.mark.parametrize("nch", [1, 3])
+def test_pnm_round_trip(nch):
+    w, h = 7, 4
+    px = _pixels(w, h, nch)
+    assert decode_pnm(encode_pnm(w, h, nch, px)) == (w, h, nch, px)
+
+
+def test_image_decoders_reject_malformed():
+    assert decode_png(b"not a png") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n truncated") is None
+    assert decode_pnm(b"P6\n3 3\n65535\n" + bytes(27)) is None  # 16-bit maxval
+    assert decode_pnm(b"P6\n4 4\n255\n" + bytes(5)) is None  # short pixels
+    assert decode_image(b"\xff\xd8\xff JPEG soi") is None  # unsupported → stub path
+    # interlaced PNG honestly rejected
+    ihdr = (1).to_bytes(4, "big") * 2 + bytes([8, 0, 0, 0, 1])
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) is None
+
+
+def test_decode_image_features_arrow_path(spark):
+    """(doc_id, payload) → real features through mapInPandas; undecodable
+    rows get NULL dims, real images exact width/height/channels/mean."""
+    from aide_spark.operators.multimodal import decode_features, decode_image_features
+
+    px = bytes([0, 255, 0, 255])  # mean 127.5/255 = 0.5
+    rows = [
+        (1, bytearray(encode_png(2, 2, 1, px))),
+        (2, bytearray(encode_pnm(2, 2, 1, px))),
+        (3, bytearray(b"unknown payload bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_image_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (2, 2, 1)
+    assert got[1].mean_luma == 0.5 and got[1].codec == "png"
+    assert got[2].codec == "pnm" and got[2].mean_luma == 0.5
+    assert got[3].codec == "undecodable" and got[3].width is None
+
+    # the generic feature surface uses the REAL decode for image magics and
+    # the deterministic stub otherwise (codec column tells)
+    feats = {r.doc_id: r for r in decode_features(df).collect()}
+    assert feats[1].codec == "png" and feats[1].n_frames == 1
+    assert feats[1].feature_0 == 0.5
+    assert feats[3].codec == "stub/v1"

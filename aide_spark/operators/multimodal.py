@@ -47,14 +47,23 @@ def _fake_decode(payload: bytes) -> tuple[int, float, str]:
 
 
 def _decode(payload: bytes) -> tuple[int, float, str]:
-    """Real image decode when the magic bytes say PNG/PNM; stub otherwise.
-    feature_0 for real images = mean sample value normalized to [0, 1]."""
+    """Real decode when the magic bytes say PNG/PNM (image) or RIFF/WAVE
+    (audio); stub otherwise. feature_0 = normalized mean sample value for
+    images, mean absolute amplitude for audio."""
     img = decode_image(payload)
-    if img is None:
-        return _fake_decode(payload)
-    w, h, nch, px = img
-    mean = (sum(px) / len(px) / 255.0) if px else 0.0
-    return 1, round(mean, 6), "png" if payload[:1] == b"\x89" else "pnm"
+    if img is not None:
+        _w, _h, _nch, px = img
+        mean = (sum(px) / len(px) / 255.0) if px else 0.0
+        return 1, round(mean, 6), "png" if payload[:1] == b"\x89" else "pnm"
+    if bytes(payload[:4]) == b"RIFF":
+        from .audio_codec import decode_wav
+
+        wav = decode_wav(payload)
+        if wav is not None:
+            _rate, _nch, n_frames, samples = wav
+            amp = sum(abs(s) for s in samples) / len(samples) if samples else 0.0
+            return n_frames, round(amp, 6), "wav"
+    return _fake_decode(payload)
 
 
 IMAGE_SCHEMA = StructType(

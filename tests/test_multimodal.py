@@ -133,6 +133,37 @@ def test_image_decoders_reject_malformed():
     assert decode_png(png) is None
 
 
+def test_wav_round_trip_and_formats():
+    import struct as _struct
+
+    from aide_spark.operators.audio_codec import decode_wav, encode_wav
+
+    samples = [0.0, 0.5, -0.5, 0.25, -1.0, 0.999, 0.1, -0.1]
+    rate, nch, n_frames, got = decode_wav(encode_wav(8000, 2, samples))
+    assert (rate, nch, n_frames) == (8000, 2, 4)
+    assert all(abs(a - b) < 1e-4 for a, b in zip(got, samples))
+    # float32 WAV (format 3)
+    pcm = _struct.pack("<4f", 0.5, -0.25, 1.0, -1.0)
+    fmt = _struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    wav = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(pcm)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    rate, nch, n_frames, got = decode_wav(wav)
+    assert (rate, nch, n_frames, got) == (44100, 1, 4, [0.5, -0.25, 1.0, -1.0])
+    # 8-bit unsigned PCM
+    fmt8 = _struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + (4 + 8 + len(fmt8) + 8 + 2).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt8).to_bytes(4, "little") + fmt8
+        + b"data" + (2).to_bytes(4, "little") + bytes([128, 255])
+    )
+    assert decode_wav(wav8)[3] == [0.0, 127 / 128.0]
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AVI LIST") is None  # not WAVE
+    assert decode_wav(b"garbage") is None
+
+
 def test_decode_image_features_arrow_path(spark):
     """(doc_id, payload) → real features through mapInPandas; undecodable
     rows get NULL dims, real images exact width/height/channels/mean."""
@@ -153,7 +184,17 @@ def test_decode_image_features_arrow_path(spark):
 
     # the generic feature surface uses the REAL decode for image magics and
     # the deterministic stub otherwise (codec column tells)
+    from aide_spark.operators.audio_codec import encode_wav
+
+    df = df.unionByName(
+        spark.createDataFrame(
+            [(4, bytearray(encode_wav(8000, 1, [0.5, -0.5, 0.25, -0.25])))],
+            "doc_id long, payload binary",
+        )
+    )
     feats = {r.doc_id: r for r in decode_features(df).collect()}
     assert feats[1].codec == "png" and feats[1].n_frames == 1
     assert feats[1].feature_0 == 0.5
     assert feats[3].codec == "stub/v1"
+    assert feats[4].codec == "wav" and feats[4].n_frames == 4
+    assert abs(feats[4].feature_0 - 0.375) < 1e-4

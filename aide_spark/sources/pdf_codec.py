@@ -65,9 +65,12 @@ _DELIMS = b"()<>[]{}/%"
 def _escape_name(ref: str) -> str:
     out = []
     for b in ref.encode("utf-8"):
-        c = chr(b)
-        if c.isalnum():
-            out.append(c)
+        # ASCII alnum only: a UTF-8 continuation byte like 0xC3 has an
+        # alnum chr() ('Ã') but must be #xx-escaped — passing it through
+        # raw would re-encode it as TWO bytes downstream and corrupt the
+        # round trip for non-ASCII refs
+        if b < 128 and chr(b).isalnum():
+            out.append(chr(b))
         else:
             out.append(f"#{b:02x}")
     return "".join(out)

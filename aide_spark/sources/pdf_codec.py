@@ -568,11 +568,6 @@ def _parse_objects(payload: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _resolve_ref(body_after_key: bytes, objs: dict[int, bytes]) -> bytes | None:
-    m = _REF_RE.match(body_after_key)
-    return objs.get(int(m.group(1))) if m else None
-
-
 def _dict_value(body: bytes, key: bytes) -> bytes | None:
     """Raw bytes following ``key`` in a dict body (caller interprets)."""
     i = body.find(key)
@@ -693,7 +688,19 @@ def _encryption_context(payload: bytes, objs: dict[int, bytes]) -> dict | None:
     document is unencrypted. Raises ValueError when the encryption dict is
     present but unsupported/malformed (CORRUPTED path)."""
     t = payload.rfind(b"trailer")
-    tail = payload[t:] if t >= 0 else payload
+    if t >= 0:
+        tail = payload[t:]
+    else:
+        # PDF 1.5 xref-stream file: the trailer fields live in the /XRef
+        # stream dict — search only those dict heads, not the whole payload
+        # (raw content bytes could spell "/Encrypt N 0 R" by coincidence)
+        heads = []
+        for body in objs.values():
+            sm = re.search(rb"stream\r?\n", body)
+            head = body[: sm.start()] if sm else body
+            if b"/XRef" in head:
+                heads.append(head)
+        tail = b"\n".join(heads) if heads else payload
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail)
     if not em:
         return None

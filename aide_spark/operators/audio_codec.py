@@ -25,6 +25,11 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[float]] | None:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + ln > len(data):
+            # truncated / over-declared chunk: reject rather than silently
+            # decoding a partial sample buffer (r4 advisory; matches the
+            # PNG codec's short-pixel-data quarantine convention)
+            return None
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt " and len(body) >= 16:
             audio_fmt, nch, rate = struct.unpack("<HHI", body[:8])

@@ -149,10 +149,30 @@ def encode_pnm(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     return magic + b"\n%d %d\n255\n" % (w, h) + pixels
 
 
+def sniff_codec(data: bytes) -> str | None:
+    """Magic-byte format sniff: 'png' / 'pnm' / 'jpeg' / None."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    head = bytes(data[:8])
+    if head == PNG_MAGIC:
+        return "png"
+    if head[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if head[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
+
 def decode_image(data: bytes) -> tuple[int, int, int, bytes] | None:
-    """Magic-byte dispatch over the supported formats."""
-    if isinstance(data, (bytes, bytearray)) and data[:8] == PNG_MAGIC:
+    """Magic-byte dispatch over the supported formats (PNG, PNM, baseline
+    JPEG — the JPEG decoder is from-scratch too, operators/jpeg_codec)."""
+    codec = sniff_codec(data)
+    if codec == "png":
         return decode_png(data)
-    if isinstance(data, (bytes, bytearray)) and data[:2] in (b"P5", b"P6"):
+    if codec == "pnm":
         return decode_pnm(data)
+    if codec == "jpeg":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(data)
     return None

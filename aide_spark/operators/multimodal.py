@@ -2,12 +2,14 @@
 Arrow-batched vectorized UDFs over ``mapInPandas`` (SURVEY.md §2.12(a) — the
 only place Python touches row data, and only in Arrow batches).
 
-Image decode is REAL for PNG and binary PNM — the from-scratch codecs in
-:mod:`aide_spark.operators.image_codec` (stdlib zlib inflate + scanline
-unfilter; no image library needed). Formats outside that envelope (JPEG,
-audio, video — which DO need native libs this environment lacks) fall back
-to :func:`_fake_decode`, a deterministic stand-in, and are labeled
-``stub/v1`` in the ``codec`` column so downstream can tell. Everything
+Image decode is REAL for PNG, binary PNM and baseline JPEG — the
+from-scratch codecs in :mod:`aide_spark.operators.image_codec` and
+:mod:`aide_spark.operators.jpeg_codec` (stdlib only; no image library
+needed); WAV PCM audio likewise (:mod:`.audio_codec`). Formats outside that
+envelope (video, compressed audio — which DO need native libs this
+environment lacks) fall back to :func:`_fake_decode`, a deterministic
+stand-in, and are labeled ``stub/v1`` in the ``codec`` column so
+downstream can tell. Everything
 Spark-side — the schema contract, the Arrow batch shape, partition-parallel
 execution — is identical for both paths, which is what matters at 100 TB:
 decode parallelism scales with partitions, and the per-batch loop amortizes
@@ -23,7 +25,7 @@ from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
-from .image_codec import decode_image
+from .image_codec import decode_image, sniff_codec
 
 FEATURE_SCHEMA = StructType(
     [
@@ -38,7 +40,7 @@ FEATURE_SCHEMA = StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, float, str]:
     """Deterministic stand-in for formats outside the real-codec envelope
-    (JPEG/audio/video need native libs this environment lacks)."""
+    (video/compressed audio need native libs this environment lacks)."""
     n = len(payload)
     checksum = sum(payload[:256]) if n else 0
     n_frames = 1 + checksum % 30
@@ -47,14 +49,14 @@ def _fake_decode(payload: bytes) -> tuple[int, float, str]:
 
 
 def _decode(payload: bytes) -> tuple[int, float, str]:
-    """Real decode when the magic bytes say PNG/PNM (image) or RIFF/WAVE
-    (audio); stub otherwise. feature_0 = normalized mean sample value for
-    images, mean absolute amplitude for audio."""
+    """Real decode when the magic bytes say PNG/PNM/JPEG (image) or
+    RIFF/WAVE (audio); stub otherwise. feature_0 = normalized mean sample
+    value for images, mean absolute amplitude for audio."""
     img = decode_image(payload)
     if img is not None:
         _w, _h, _nch, px = img
         mean = (sum(px) / len(px) / 255.0) if px else 0.0
-        return 1, round(mean, 6), "png" if payload[:1] == b"\x89" else "pnm"
+        return 1, round(mean, 6), sniff_codec(payload)
     if bytes(payload[:4]) == b"RIFF":
         from .audio_codec import decode_wav
 
@@ -95,10 +97,7 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFr
                 else:
                     w, h, nch, px = img
                     mean = round(sum(px) / len(px) / 255.0, 6) if px else 0.0
-                    rows.append(
-                        (int(doc_id), w, h, nch, mean,
-                         "png" if bytes(b[:1]) == b"\x89" else "pnm")
-                    )
+                    rows.append((int(doc_id), w, h, nch, mean, sniff_codec(b)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
 
     return df.mapInPandas(batches, schema=IMAGE_SCHEMA)

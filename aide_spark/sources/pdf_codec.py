@@ -36,7 +36,10 @@ into the object table after decryption) and optionally emitted
 one ObjStm and writes a binary ``/Type /XRef`` cross-reference stream
 instead of the classic table+trailer).
 
-Scope honestly stated: no CID fonts; strings are utf-8 bytes; pure-Python
+PDF text strings decode per spec 7.9.2.2: UTF-16BE when the FE FF BOM
+leads (page text AND the /Info document-information dictionary, which
+``decode_pdf_metadata_ex`` exposes as the V7 metadata source on raw bytes),
+utf-8/ASCII otherwise. Scope honestly stated: no CID fonts; pure-Python
 AES is sized for the rare encrypted-doc path, not bulk data. That covers
 every PDF this engine writes and the round-trip property test pins
 codec(decode∘encode)=id over the whole generator corpus.
@@ -127,17 +130,23 @@ def _pad_password(pw: str) -> bytes:
     return (pw.encode("latin-1", errors="replace") + _PAD)[:32]
 
 
-def _file_key(
-    password: str, o_entry: bytes, p: int, file_id: bytes, rev: int, keylen: int
+def _file_key_padded(
+    padded: bytes, o_entry: bytes, p: int, file_id: bytes, rev: int, keylen: int
 ) -> bytes:
-    """Algorithm 2: user password -> file encryption key."""
-    h = hashlib.md5(
-        _pad_password(password) + o_entry[:32] + struct.pack("<i", p) + file_id
-    ).digest()
+    """Algorithm 2 from an already-padded password (Algorithm 7 feeds the
+    padded user password recovered from /O straight in here)."""
+    h = hashlib.md5(padded + o_entry[:32] + struct.pack("<i", p) + file_id).digest()
     if rev >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
     return h[:keylen]
+
+
+def _file_key(
+    password: str, o_entry: bytes, p: int, file_id: bytes, rev: int, keylen: int
+) -> bytes:
+    """Algorithm 2: user password -> file encryption key."""
+    return _file_key_padded(_pad_password(password), o_entry, p, file_id, rev, keylen)
 
 
 def _owner_entry(owner_pw: str, user_pw: str, rev: int, keylen: int) -> bytes:
@@ -230,6 +239,32 @@ def _authenticate(
     return key if want[: len(got)] == got else None
 
 
+def _authenticate_owner(
+    password: str, o_entry: bytes, u_entry: bytes, p: int, file_id: bytes,
+    rev: int, keylen: int,
+) -> bytes | None:
+    """Owner-password check (Algorithm 7, rev 2-4): derive the RC4 key from
+    the owner password (Algorithm 3 steps a-d), un-RC4 /O to recover the
+    PADDED user password, then run Algorithm 6 on it (r4 advisory: before
+    this, a foreign PDF opened with its owner password was misreported
+    WRONG_PASSWORD on the RC4/AESV2 handlers — pypdf accepts it)."""
+    h = hashlib.md5(_pad_password(password)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:keylen]
+    user_padded = o_entry[:32]
+    if rev == 2:
+        user_padded = _rc4(key, user_padded)
+    else:  # invert Algorithm 3's 20 RC4 passes: keys key^19 … key^0
+        for i in range(19, -1, -1):
+            user_padded = _rc4(bytes(b ^ i for b in key), user_padded)
+    fkey = _file_key_padded(user_padded, o_entry, p, file_id, rev, keylen)
+    want = _user_entry(fkey, rev, file_id)
+    got = u_entry[:16] if rev >= 3 else u_entry[:32]
+    return fkey if want[: len(got)] == got else None
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -263,6 +298,26 @@ def _encrypt_stream_obj(body: bytes, enc_fn) -> bytes:
     return head + body[m.start() : m.end()] + data + body[m.end() + n :]
 
 
+def _text_string_bytes(v: str) -> bytes:
+    """str → PDF text-string bytes: ASCII stays ASCII; anything else is
+    UTF-16BE with the FE FF BOM (spec 7.9.2.2 — what pypdf emits/expects)."""
+    return v.encode("ascii") if v.isascii() else b"\xfe\xff" + v.encode("utf-16-be")
+
+
+def _info_object(metadata: dict[str, str], transform=None) -> bytes:
+    """/Info dict body; values as hex strings (escape-free for arbitrary
+    UTF-16/encrypted bytes), optionally transformed (string encryption)."""
+    ents = []
+    for k, v in metadata.items():
+        if not (k.startswith("/") and k[1:].isalnum()):
+            raise ValueError(f"bad /Info key: {k!r}")
+        b = _text_string_bytes(v)
+        if transform is not None:
+            b = transform(b)
+        ents.append(k.encode("ascii") + b" <" + b.hex().encode() + b">")
+    return b"<< " + b" ".join(ents) + b" >>"
+
+
 def encode_pdf(
     spans: list[tuple],
     compress: bool = True,
@@ -271,6 +326,7 @@ def encode_pdf(
     security_rev: int = 2,
     cipher: str = "rc4",
     object_streams: bool = False,
+    metadata: dict[str, str] | None = None,
 ) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
     ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
@@ -345,6 +401,12 @@ def encode_pdf(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(page_nums)).encode() + b" >>"
     )
+
+    info_num = None
+    if metadata:
+        info_num = next_num
+        next_num += 1
+        objs[info_num] = _info_object(metadata)
 
     objstm_num = None
     packed_index: dict[int, int] = {}
@@ -475,6 +537,8 @@ def encode_pdf(
         for num in list(objs):
             if re.search(rb"stream\r?\n", objs[num]):
                 objs[num] = _encrypt_stream_obj(objs[num], enc_fn(num))
+        if info_num is not None and info_num in objs:
+            objs[info_num] = _info_object(metadata, transform=enc_fn(info_num))
         enc_num = next_num
         next_num += 1
         objs[enc_num] = enc_dict
@@ -483,6 +547,9 @@ def encode_pdf(
             b" /Encrypt " + str(enc_num).encode() + b" 0 R"
             b" /ID [<" + id_hex + b"> <" + id_hex + b">]"
         )
+
+    if info_num is not None:
+        trailer_extra += b" /Info " + str(info_num).encode() + b" 0 R"
 
     out = bytearray(b"%PDF-1.5\n" if object_streams else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -682,6 +749,34 @@ def _int_value(body: bytes, key: bytes, default: int | None = None) -> int | Non
     return int(m.group(1)) if m else default
 
 
+def _mask_nested_dicts(body: bytes) -> bytes:
+    """Blank out every ``<< … >>`` span nested INSIDE the object's outermost
+    dict, so key searches see only top-level entries (r4 advisory: in a V4
+    encrypt dict the crypt filter's ``/StdCF << … /Length 16 >>`` — bytes —
+    can precede the top-level ``/Length 128`` — bits — and the first-match
+    regex picked the wrong one)."""
+    out = bytearray(body)
+    depth = 0
+    i = 0
+    while i < len(body):
+        two = body[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            if depth >= 2:
+                out[i : i + 2] = b"  "
+            i += 2
+        elif two == b">>":
+            if depth >= 2:
+                out[i : i + 2] = b"  "
+            depth -= 1
+            i += 2
+        else:
+            if depth >= 2:
+                out[i] = 0x20
+            i += 1
+    return bytes(out)
+
+
 def _encryption_context(payload: bytes, objs: dict[int, bytes]) -> dict | None:
     """Locate the trailer's /Encrypt + /ID; classify the handler (RC4 /V 1-2,
     AESV2 /V 4, AESV3 /V 5) and return its parameters, or None when the
@@ -718,9 +813,17 @@ def _encryption_context(payload: bytes, objs: dict[int, bytes]) -> dict | None:
         scheme = "aesv3"
     else:
         raise ValueError("unsupported security handler")
-    keylen = (_int_value(enc, b"/Length", 40) or 40) // 8 if rev >= 3 else 5
-    if rev == 2:
+    if rev < 3:
         keylen = 5
+    else:
+        keylen = (_int_value(_mask_nested_dicts(enc), b"/Length", 40) or 40) // 8
+        if v == 4:
+            # prefer the StdCF crypt-filter /Length when present — per spec
+            # it's in BYTES (some writers emit bits; >40 means bits)
+            cfm = re.search(rb"/StdCF\s*<<(.*?)>>", enc, re.S)
+            cl = _int_value(cfm.group(1), b"/Length") if cfm else None
+            if cl:
+                keylen = cl // 8 if cl > 40 else cl
     if scheme == "aesv3":
         keylen = 32
     o_entry = _string_value(enc, b"/O")
@@ -745,12 +848,17 @@ def _encryption_context(payload: bytes, objs: dict[int, bytes]) -> dict | None:
     }
 
 
-def _expand_object_streams(objs: dict[int, bytes], fetch_stream) -> bool:
+def _expand_object_streams(
+    objs: dict[int, bytes], fetch_stream, merged: set | None = None
+) -> bool:
     """PDF 1.5 compressed object streams: decompress every ``/Type /ObjStm``
     and merge its embedded objects into ``objs`` (top-level definitions win
     on duplicates — the scanner's conservative rule). The stream layout is
     ``/N`` pairs of ``objnum offset`` integers, then object bodies starting
-    at ``/First``. Returns False on a structurally-broken ObjStm."""
+    at ``/First``. Returns False on a structurally-broken ObjStm. Object
+    numbers merged from a stream are recorded in ``merged`` — strings inside
+    them are NOT individually encrypted (spec 7.5.7: the ObjStm itself was),
+    which the metadata reader needs to know."""
     for num in list(objs):
         body = objs[num]
         sm = re.search(rb"stream\r?\n", body)
@@ -774,7 +882,19 @@ def _expand_object_streams(objs: dict[int, bytes], fetch_stream) -> bool:
             )
             if int(onum) not in objs:  # top-level wins
                 objs[int(onum)] = data[start:end]
+                if merged is not None:
+                    merged.add(int(onum))
     return True
+
+
+def _pdf_text(b: bytes) -> str:
+    """PDF text-string bytes → str: UTF-16BE when the BOM ``FE FF`` leads
+    (spec 7.9.2.2 — what pypdf yields for the same bytes, r3 VERDICT #5),
+    else UTF-8 with replacement (covers ASCII, the common subset of
+    PDFDocEncoding, and this encoder's own output)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("utf-8", errors="replace")
 
 
 def _page_numbers(objs: dict[int, bytes]) -> list[int] | None:
@@ -893,26 +1013,23 @@ def _tokenize_content(data: bytes):
             i = j
 
 
-def decode_pdf_bytes_ex(
-    payload: bytes, password: str | None = None
-) -> tuple[list[dict] | None, str]:
-    """Raw PDF bytes → (canonical span dicts | None, status). Status is one
-    of ``OK`` / ``CORRUPTED`` / ``ENCRYPTED_NO_PASSWORD`` / ``WRONG_PASSWORD``
-    — the same codes the validator quarantines with, so the raw-bytes path
-    reproduces pdf_validator.py:113-134 (including the ``strip()``-retry) on
-    real encrypted bytes. Magic-bytes failure is ``NOT_PDF`` (the 4-byte
-    ``%PDF`` check, pdf_validator.py:75-89), distinct from structural
-    ``CORRUPTED``."""
+def _open_pdf(payload: bytes, password: str | None = None) -> tuple[dict | None, str]:
+    """Shared document-open preamble: magic check → object scan → encryption
+    context → user/owner authentication (with trimmed retry) → ObjStm
+    expansion. Returns (ctx, status); ctx has ``objs``, ``fetch_stream``,
+    ``dec_string`` (per-object string decryption, identity when unencrypted
+    or for strings merged out of an ObjStm) and ``payload``."""
     if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"%PDF":
         return None, "NOT_PDF"
-    objs = _parse_objects(bytes(payload))
+    payload = bytes(payload)
+    objs = _parse_objects(payload)
     if not objs:
         return None, "CORRUPTED"
 
     fkey: bytes | None = None
     scheme: str | None = None
     try:
-        enc = _encryption_context(bytes(payload), objs)
+        enc = _encryption_context(payload, objs)
     except ValueError:
         return None, "CORRUPTED"
     if enc is not None:
@@ -923,10 +1040,11 @@ def decode_pdf_bytes_ex(
         def try_pw(pw: str) -> bytes | None:
             if scheme == "aesv3":
                 return _authenticate_r6(pw, enc["o"], enc["u"], enc["oe"], enc["ue"])
-            return _authenticate(
+            args = (
                 pw, enc["o"], enc["u"], enc["p"], enc["file_id"],
                 enc["rev"], enc["keylen"],
             )
+            return _authenticate(*args) or _authenticate_owner(*args)
 
         fkey = try_pw(password)
         if fkey is None and password.strip() != password:
@@ -934,31 +1052,52 @@ def decode_pdf_bytes_ex(
         if fkey is None:
             return None, "WRONG_PASSWORD"
 
+    def _decryptor(num: int):
+        if fkey is None:
+            return None
+        if scheme == "rc4":
+            return lambda d, n=num: _rc4(_object_key(fkey, n), d)
+        from .aes import cbc_decrypt
+
+        if scheme == "aesv2":
+            return lambda d, n=num: (
+                cbc_decrypt(d[16:], _object_key(fkey, n, aes=True), d[:16])
+                if len(d) >= 16
+                else None
+            )
+        # aesv3: the file key is used directly
+        return lambda d: cbc_decrypt(d[16:], fkey, d[:16]) if len(d) >= 16 else None
+
     def fetch_stream(num: int) -> bytes | None:
         ob = objs.get(num)
         if ob is None:
             return None
-        dec = None
-        if fkey is not None:
-            if scheme == "rc4":
-                dec = lambda d, n=num: _rc4(_object_key(fkey, n), d)
-            else:
-                from .aes import cbc_decrypt
+        return _stream_data(ob, objs, decrypt=_decryptor(num))
 
-                if scheme == "aesv2":
-                    dec = lambda d, n=num: (
-                        cbc_decrypt(d[16:], _object_key(fkey, n, aes=True), d[:16])
-                        if len(d) >= 16
-                        else None
-                    )
-                else:  # aesv3: the file key is used directly
-                    dec = lambda d: (
-                        cbc_decrypt(d[16:], fkey, d[:16]) if len(d) >= 16 else None
-                    )
-        return _stream_data(ob, objs, decrypt=dec)
-
-    if not _expand_object_streams(objs, fetch_stream):
+    from_objstm: set[int] = set()
+    if not _expand_object_streams(objs, fetch_stream, merged=from_objstm):
         return None, "CORRUPTED"
+
+    def dec_string(num: int, raw: bytes) -> bytes | None:
+        """String bytes of object ``num`` → plaintext bytes (strings inside
+        an expanded ObjStm are already plaintext — the stream was the
+        encryption unit)."""
+        if fkey is None or num in from_objstm:
+            return raw
+        dec = _decryptor(num)
+        return dec(raw) if dec is not None else raw
+
+    return {
+        "objs": objs,
+        "fetch_stream": fetch_stream,
+        "dec_string": dec_string,
+        "payload": payload,
+    }, "OK"
+
+
+def _extract_spans(ctx: dict) -> tuple[list[dict] | None, str]:
+    """Opened-document context → (canonical span dicts | None, status)."""
+    objs, fetch_stream = ctx["objs"], ctx["fetch_stream"]
     page_nums = _page_numbers(objs)
     if not page_nums:
         return None, "CORRUPTED"
@@ -1016,16 +1155,16 @@ def decode_pdf_bytes_ex(
                     last_name = val
                 else:  # operator
                     if val == b"Tj" or val == b'"':
-                        buf.append(last_str.decode("utf-8", errors="replace"))
+                        buf.append(_pdf_text(last_str))
                         pending = True
                     elif val == b"'":
                         flush()
-                        buf.append(last_str.decode("utf-8", errors="replace"))
+                        buf.append(_pdf_text(last_str))
                         pending = True
                     elif val == b"TJ":
-                        buf.append(
-                            b"".join(last_arr).decode("utf-8", errors="replace")
-                        )
+                        # per-element decode: each TJ string may carry its
+                        # own UTF-16 BOM (pypdf decodes them independently)
+                        buf.append("".join(_pdf_text(x) for x in last_arr))
                         pending = True
                     elif val in (b"Td", b"TD", b"T*", b"ET"):
                         flush()
@@ -1037,8 +1176,110 @@ def decode_pdf_bytes_ex(
     return spans, "OK"
 
 
+def decode_pdf_bytes_ex(
+    payload: bytes, password: str | None = None
+) -> tuple[list[dict] | None, str]:
+    """Raw PDF bytes → (canonical span dicts | None, status). Status is one
+    of ``OK`` / ``CORRUPTED`` / ``ENCRYPTED_NO_PASSWORD`` / ``WRONG_PASSWORD``
+    — the same codes the validator quarantines with, so the raw-bytes path
+    reproduces pdf_validator.py:113-134 (including the ``strip()``-retry) on
+    real encrypted bytes. Magic-bytes failure is ``NOT_PDF`` (the 4-byte
+    ``%PDF`` check, pdf_validator.py:75-89), distinct from structural
+    ``CORRUPTED``."""
+    ctx, status = _open_pdf(payload, password)
+    if ctx is None:
+        return None, status
+    return _extract_spans(ctx)
+
+
 def decode_pdf_bytes(
     payload: bytes, password: str | None = None
 ) -> list[dict] | None:
     """Raw PDF bytes → canonical span dicts (None ⇒ quarantine)."""
     return decode_pdf_bytes_ex(payload, password)[0]
+
+
+def decode_pdf_full(
+    payload: bytes, password: str | None = None
+) -> tuple[list[dict] | None, dict[str, str] | None, str]:
+    """One open, both surfaces: (spans, /Info metadata, status) — the
+    parse/auth/ObjStm work is done once for ingest paths that want text AND
+    metadata from the same byte stream."""
+    ctx, status = _open_pdf(payload, password)
+    if ctx is None:
+        return None, None, status
+    spans, status = _extract_spans(ctx)
+    if spans is None:
+        return None, None, status
+    meta, status = _extract_info(ctx)
+    if meta is None:
+        return None, None, status
+    return spans, meta, status
+
+
+# ---------------------------------------------------------------------------
+# document-information dictionary (/Info): the V7 metadata source on raw bytes
+# ---------------------------------------------------------------------------
+
+INFO_KEYS = (
+    b"/Title", b"/Author", b"/Subject", b"/Creator", b"/Producer",
+    b"/CreationDate", b"/ModDate",
+)
+
+
+def _extract_info(ctx: dict) -> tuple[dict[str, str] | None, str]:
+    """Opened-document context → the trailer's /Info dict as
+    ``{'/Title': ..., ...}`` (``{}`` when absent)."""
+    objs, payload = ctx["objs"], ctx["payload"]
+
+    t = payload.rfind(b"trailer")
+    if t >= 0:
+        tail = payload[t:]
+    else:  # xref-stream file: trailer fields live in /XRef dict heads
+        heads = []
+        for body in objs.values():
+            sm = re.search(rb"stream\r?\n", body)
+            head = body[: sm.start()] if sm else body
+            if b"/XRef" in head:
+                heads.append(head)
+        tail = b"\n".join(heads) if heads else payload
+    im = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", tail)
+    if not im:
+        return {}, "OK"
+    num = int(im.group(1))
+    info = objs.get(num)
+    if info is None:
+        return {}, "OK"
+    out: dict[str, str] = {}
+    for key in INFO_KEYS:
+        raw = _string_value(info, key)
+        if raw is None:
+            continue
+        plain = ctx["dec_string"](num, raw)
+        if plain is None:
+            return None, "CORRUPTED"
+        out[key.decode("ascii")] = _pdf_text(plain)
+    return out, "OK"
+
+
+def decode_pdf_metadata_ex(
+    payload: bytes, password: str | None = None
+) -> tuple[dict[str, str] | None, str]:
+    """Raw PDF bytes → (document-information dict | None, status): the
+    trailer's ``/Info`` object parsed into ``{'/Title': ..., ...}`` — the
+    same key→string map ``PdfReader.metadata`` exposes (pdf_validator.py:
+    252-282), so :func:`aide_spark.operators.validation.pdf_metadata_struct`
+    runs V7 on raw bytes. Strings are decrypted with the per-object key when
+    the file is encrypted and BOM-decoded (UTF-16BE) like page text. A file
+    with no /Info yields ``{}`` (all-NULL V7 fields)."""
+    ctx, status = _open_pdf(payload, password)
+    if ctx is None:
+        return None, status
+    return _extract_info(ctx)
+
+
+def decode_pdf_metadata(
+    payload: bytes, password: str | None = None
+) -> dict[str, str] | None:
+    """Raw PDF bytes → /Info map (None ⇒ quarantine)."""
+    return decode_pdf_metadata_ex(payload, password)[0]

@@ -396,3 +396,45 @@ def test_pdf_ingest_through_pipeline(spark):
     ]
     assert via_pdf.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_pdf).count() == 0
+
+
+def test_passthrough_column_missing_fails_on_driver(spark):
+    """r4 advisory: a passthrough name absent from the input must raise a
+    clear driver-side ValueError naming it — not a KeyError inside the
+    Arrow worker at execution time."""
+    import pytest
+
+    from aide_spark.sources.binary_ingest import ingest_binary_pdf
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    df = spark.createDataFrame(
+        [("d1", bytearray(encode_pdf([("text", "x", "", 0)])))],
+        "doc_id string, content binary",
+    )
+    with pytest.raises(ValueError, match="no_such_col"):
+        ingest_binary_pdf(df, passthrough=["no_such_col"])
+
+
+def test_v7_metadata_probe_on_raw_bytes(spark):
+    """r3 VERDICT #5 closed end-to-end: an ENCRYPTED PDF with a UTF-16BE
+    /Info dict → ingest_binary_pdf(with_metadata=True) → the V7 probe
+    (pdf_metadata_struct) — title decodes, the empty /Author truthy-drops."""
+    from aide_spark.operators.validation import extract_pdf_metadata
+    from aide_spark.sources.binary_ingest import ingest_binary_pdf
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    meta = {"/Title": "Última relación 報告", "/Author": "", "/Producer": "aide"}
+    pdf = encode_pdf(
+        [("text", "x", "", 0)], metadata=meta, password="pw", cipher="aesv2"
+    )
+    df = spark.createDataFrame(
+        [("d1", bytearray(pdf), "pw")],
+        "doc_id string, content binary, password string",
+    )
+    decoded = ingest_binary_pdf(df, password_col="password", with_metadata=True)
+    assert decoded.select("decode_status").first()[0] == "OK"
+    row = extract_pdf_metadata(decoded).collect()[0]
+    assert row.title == "Última relación 報告"
+    assert row.author is None  # truthy-drop: '' → NULL (pdf_validator.py:258)
+    assert row.producer == "aide"
+    assert row.subject is None

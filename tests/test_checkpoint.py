@@ -142,3 +142,41 @@ def test_list_statements_orders_by_commit_time(spark, tmp_path):
     assert batches[-1] == "stream-0"
     first_stream = batches.index("stream-0")
     assert all(b == "stream-0" for b in batches[first_stream:])
+
+
+def test_resume_run_triggers_no_extra_jobs(spark, store):
+    """r3 VERDICT nit #1 — run_with_resume's only driver-side actions beyond
+    the 4 stage writes must be the two TINY staged-parquet read-back
+    aggregates: no pending.count(), no semi-join skipped count, no full
+    spans-table read-back count (each of those re-executed the input plan).
+    Verified by job-group audit: every job whose stage call-site is
+    checkpoint.py must be a `collect` of the read-back aggregates — exactly
+    two — and no `count at ...checkpoint.py` job may exist. (Raw job totals
+    are NOT asserted: parquet reader/writer and broadcast-exchange sub-jobs
+    are Spark internals that vary by plan.)"""
+    docs = local_corpus_df(spark, 12)
+    run_with_resume(spark, docs.where("doc_id RLIKE '[02468]$'"), store, batch_id="b1")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("resume-audit", "run_with_resume job-count audit")
+    try:
+        r = run_with_resume(spark, docs, store, batch_id="b2")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    assert r["skipped_committed"] > 0  # the resume path actually exercised
+    jsc = sc._jsc.sc().statusTracker()
+    actions = []
+    for j in sc.statusTracker().getJobIdsForGroup("resume-audit"):
+        opt = jsc.getJobInfo(j)
+        if not opt.isDefined():
+            continue
+        for sid in list(opt.get().stageIds()):
+            so = jsc.getStageInfo(sid)
+            if so.isDefined() and "checkpoint.py" in so.get().name():
+                actions.append(so.get().name().split("\n")[0])
+                break  # one call-site per job
+    assert actions, "audit saw no checkpoint.py jobs at all"
+    assert all(a.startswith("collect at") for a in actions), actions
+    # AQE may split one action into several jobs — count distinct CALL-SITES
+    assert len(set(actions)) == 2, sorted(set(actions))

@@ -171,3 +171,62 @@ def test_cosine_verify_no_nested_loop_join(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_exact_within_pigeonhole(spark):
+    """The banded Hamming join is EXACT for max_distance <= n_bands-1
+    (pigeonhole): on synthetic fingerprints with known distances it must
+    reproduce the brute-force all-pairs answer, values included."""
+    import itertools
+
+    from aide_spark.operators.dedup import simhash_hamming_pairs
+
+    base = 0xA5C3_1E74
+    fps = [base, base ^ 0x1, base ^ 0x8000_0001, base ^ 0x0101_0100]  # d=0,1,2,3 from base
+    fps += [(base * (i + 7) * 2654435761) & 0xFFFF_FFFF for i in range(40)]
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_hamming_pairs(df, max_distance=3).collect()
+    }
+    want = {
+        (i, j, bin(a ^ b).count("1"))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if bin(a ^ b).count("1") <= 3
+    }
+    assert want and got == want
+
+
+def test_simhash_hot_band_bounded(spark):
+    """VERDICT r3 #2 — a hot band (500 identical fingerprints: every band
+    bucket collects all 500) must sub-split: pair output grows ~linearly,
+    never C(500,2), yet stays a subset of the true pair set and keeps the
+    clique ONE duplicate component (per-band salt diversifies splits)."""
+    from aide_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.range(500).selectExpr("id AS doc_id", "CAST(305419896 AS LONG) AS simhash")
+    cap = 16
+    pairs = simhash_hamming_pairs(df, max_distance=3, max_bucket_size=cap)
+    rows = pairs.collect()
+    n_subs = -(-500 // cap)
+    worst_per_band = n_subs * (cap + 8) * (cap + 8 - 1) // 2
+    assert 0 < len(rows) <= 4 * worst_per_band, len(rows)
+    assert all(r.hamming == 0 for r in rows)
+
+    parent = list(range(500))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(int(r.d1)), find(int(r.d2))
+        if a != b:
+            parent[a] = b
+    assert len({find(i) for i in range(500)}) == 1
+
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

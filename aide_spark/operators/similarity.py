@@ -61,7 +61,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     pick argmax cosine per vector with ``max_by`` over a (sim, -cluster)
     struct — a map-side-combinable aggregate, NOT a window, so assignment
     scales without shuffling k×N rows ordered per vector. Ties on the
-    rounded cosine break toward the lowest cluster id (both engines)."""
+    rounded cosine break toward the lowest cluster id (both engines).
+
+    Cost note (r3 VERDICT): the crossJoin fans out k×N rows map-side before
+    the partial aggregate collapses them — flat in shuffle but linear in k
+    at the mapper. Intended for the COARSE quantizer (k ≤ ~100); for large
+    k, fold the broadcast centroid array into one projection with
+    ``F.aggregate`` instead of a join."""
     joined = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
         "csim", cosine(F.col("embedding"), F.col("centroid"))
     )

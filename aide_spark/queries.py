@@ -1448,7 +1448,7 @@ def ann_ivf_fixed_topk(spark, sf_dir):
     return ivf_search(assigned.where("vec_id != 0"), cents, list(query), nprobe=4, topk=10)
 
 
-def ann_ivf_topk(spark, sf_dir):
+def ann_ivf_topk(spark, sf_dir):  # tests-only: NOT registered in QUERIES
     """IVF ANN with MLlib KMeans training (iterative — not SQL-expressible,
     so deliberately NOT a driver ``queries()`` entry: the cross-checkable
     probe/search shape is the board's ``ann_ivf_fixed_topk`` row, and this

@@ -67,6 +67,10 @@ def run(cpus: int, skip_queries: bool = True) -> dict:
         os.environ,
         SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
         SPARK_GRAFT_SKIP_QUERIES="1" if skip_queries else "0",
+        # single timed execution per window half: keeps entries comparable
+        # with the historical log (bench.py defaults to best-of-2 now) and
+        # a window short enough to stay inside one quiet period
+        SPARK_GRAFT_BENCH_RUNS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--cpus", str(cpus)],

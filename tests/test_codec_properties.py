@@ -317,3 +317,49 @@ def test_jpeg_decoder_never_raises_on_garbage(payload):
     decode_jpeg(payload)
     decode_jpeg(b"\xff\xd8" + payload)
     decode_jpeg(b"\xff\xd8\xff\xdb" + payload)
+
+
+def test_pdf_cid_tounicode_text_decodes():
+    """CID/Type0 text (2-byte codes + /ToUnicode CMap, the pypdf-compatible
+    path): bfchar and bfrange entries both resolve; a font switch via Tf
+    changes the active mapping; unmapped codes yield U+FFFD."""
+    from aide_spark.sources.pdf_codec import decode_pdf_bytes
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0041> <0416> <0042> <0436> endbfchar\n"  # Zh, zh
+        b"1 beginbfrange <0100> <0102> <0440> endbfrange\n"       # r, s, t (cyr)
+        b"endcmap end\n"
+    )
+    # codes: 0041 0042 0100 0101 0102 -> "Жж" + "рст"
+    content = b"BT /F9 12 Tf <00410042> Tj <010001010102> Tj ET"
+
+    def obj(n, body):
+        return b"%d 0 obj\n" % n + body + b"\nendobj\n"
+
+    pdf = (
+        b"%PDF-1.4\n"
+        + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + obj(3, b"<< /Type /Page /Parent 2 0 R "
+                 b"/Resources << /Font << /F9 5 0 R >> >> /Contents 4 0 R >>")
+        + obj(4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+        + obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+                 b"/Encoding /Identity-H /ToUnicode 6 0 R >>")
+        + obj(6, b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream")
+        + b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans = decode_pdf_bytes(pdf)
+    assert spans is not None
+    assert spans[0]["text"] == "Жжрст"
+
+    # unmapped code → replacement char
+    bad = pdf.replace(b"<010001010102>", b"<011101010102>")
+    spans = decode_pdf_bytes(bad)
+    assert spans[0]["text"] == "Жж�ст"
+
+    # a page WITHOUT the Tf switch keeps the default decode (no cmap leak)
+    plain = pdf.replace(b"/F9 12 Tf ", b"")
+    spans = decode_pdf_bytes(plain)
+    assert "Ж" not in spans[0]["text"]

@@ -245,6 +245,55 @@ def simhash_hamming_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assembly: candidate pairs (d1, d2) → (doc_id,
+    component), component = min doc id reachable through the pair graph —
+    the deterministic canonical-survivor rule (dedup keeps ``component``,
+    drops the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels (one equi-join + one groupBy per round),
+    stopping when a round changes nothing. Rounds needed = graph diameter —
+    near-dup clusters are near-cliques (diameter ≤ ~2), so this converges in
+    2-3 rounds on real dedup graphs; ``max_iterations`` bounds adversarial
+    chains. The per-round driver action (convergence count) is inherent to
+    iterative fixpoints — the loop is O(diameter), not O(n); at 1000-executor
+    scale the same loop runs with each round persisted and the previous
+    round unpersisted, exactly as here. (Large-star/small-star halves the
+    round count for chain-heavy graphs; near-dup graphs don't need it.)
+
+    ``nodes`` supplies the universe (singletons keep their own id as
+    component — same rows the DuckDB recursive-closure oracle emits).
+    """
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels.persist()
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select("node", F.least("label", "_nbr").alias("label"), F.col("label").alias("_old"))
+        )
+        new_labels.persist()
+        changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
 def cosine_verify_pairs(
     candidates: DataFrame,
     embeddings: DataFrame,

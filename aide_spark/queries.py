@@ -809,10 +809,8 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH docs AS ({_SHINGLE_SQL}),
+_LSH_PAIRS_SQL = f"""
+    docs AS ({_SHINGLE_SQL}),
     sigs AS (
       SELECT doc_id,
              list_transform(range(0, 8),
@@ -823,9 +821,18 @@ def dedup_exact(spark, sf_dir):
              unnest(list_transform(range(0, 4),
                b -> md5(CAST(b AS VARCHAR) || '|' ||
                         array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ',')))) AS band
-      FROM sigs)
-    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_PAIRS_SQL}
+    SELECT d1, d2 FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -843,6 +850,36 @@ def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     bands = D.minhash_band_table(d, n_hashes=8, n_bands=4, shingle_n=3)
     return D.lsh_candidate_pairs(bands, max_bucket_size=64)
+
+
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster assembly: LSH candidate pairs → connected
+    components by iterative min-label propagation (operators/dedup.py:
+    connected_components; O(diameter) rounds, one join + one groupBy each,
+    driver loop only for the convergence fixpoint — the iterative-algorithm
+    shape). component = min doc_id of the cluster, the deterministic
+    canonical survivor; singletons keep their own id. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair table."""
+    from .operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    bands = D.minhash_band_table(d, n_hashes=8, n_bands=4, shingle_n=3)
+    pairs = D.lsh_candidate_pairs(bands, max_bucket_size=64)
+    return D.connected_components(pairs, d, "doc_id")
 
 
 @q(

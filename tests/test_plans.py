@@ -230,3 +230,23 @@ def test_simhash_hot_band_bounded(spark):
 
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """connected_components: a 6-node chain (worst-case diameter), a
+    4-clique, and a singleton — labels converge to the component min and
+    the loop stops at the fixpoint, not max_iterations."""
+    from aide_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 15)]          # 10-…-15
+    clique = [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    pairs = spark.createDataFrame(chain + clique, "d1 long, d2 long")
+    nodes = spark.createDataFrame(
+        [(n,) for n in list(range(10, 16)) + list(range(20, 24)) + [99]],
+        "doc_id long",
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs, nodes).collect()}
+    want = {n: 10 for n in range(10, 16)}
+    want.update({n: 20 for n in range(20, 24)})
+    want[99] = 99
+    assert got == want

@@ -11,10 +11,16 @@ processing.
 Also provided, beyond the reference (first-class streaming ops a production
 engine needs):
 
-* watermarked event-time tumbling aggregation (late-data policy), and
+* watermarked event-time tumbling aggregation (late-data policy),
 * a custom stateful operator via ``transformWithStateInPandas``-style
   ``applyInPandasWithState`` — the APGVB running-balance classifier as a
-  per-key stateful stream (the streaming twin of the batch ``lag()`` window).
+  per-key stateful stream (the streaming twin of the batch ``lag()``
+  window), and
+* a streaming SimHash near-dup filter (:func:`near_dup_stream`) — the
+  streaming twin of ``operators.dedup.simhash_hamming_pairs``: per-band
+  fingerprint state flags each arriving doc against everything seen before
+  it, the shape an ingestion firehose needs (dedup ON ARRIVAL, not as a
+  nightly batch).
 """
 
 from __future__ import annotations
@@ -23,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from ..schemas import DOCUMENTS
@@ -129,4 +136,113 @@ def classify_balance_stream(txns_stream: DataFrame) -> DataFrame:
         stateStructType=_BALANCE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_NEARDUP_STATE = StructType(
+    [
+        StructField("seqs", ArrayType(LongType()), True),
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("fps", ArrayType(LongType()), True),
+    ]
+)
+_NEARDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("band_idx", IntegerType(), False),
+        StructField("is_dup", BooleanType(), False),
+        StructField("dup_of", LongType(), True),
+    ]
+)
+
+
+def near_dup_stream(
+    fps_stream: DataFrame,
+    max_distance: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+    max_state: int = 4096,
+) -> DataFrame:
+    """Streaming SimHash near-dup filter — the arrival-time twin of the
+    batch Hamming-ball join (operators/dedup.py:simhash_hamming_pairs,
+    same pigeonhole banding: a doc within Hamming ``n_bands - 1`` of an
+    earlier doc shares at least one band bucket with it).
+
+    Input: stream of (seq long, doc_id long, simhash long) — ``seq`` is the
+    arrival order within the stream (the micro-batch analogue of event_id
+    in the balance classifier). Each doc explodes into its ``n_bands`` band
+    rows; state lives PER BAND BUCKET (band_idx, band_bits) and holds the
+    (seq, doc_id, fp) triples seen in that bucket, seq-ordered, capped at
+    ``max_state`` per bucket (a boilerplate bucket stops absorbing new
+    fingerprints at the cap — bounded state, the streaming analogue of the
+    batch sub-split; docs keep being CHECKED against the stored cap).
+
+    Output: per (doc, band) verdict rows; collapse to doc-level with
+    :func:`collapse_band_verdicts`. A doc is a dup if ANY of its bands finds
+    a stored fingerprint within ``max_distance`` (exact popcount verify on
+    the bucket members only — never a scan of all state).
+    """
+    import pandas as pd
+
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash").cast("long"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = fps_stream.select(
+        "seq", "doc_id", F.col("simhash").cast("long").alias("fp"),
+        F.explode(entries).alias("e"),
+    ).select("seq", "doc_id", "fp", "e.band_idx", "e.band_bits")
+
+    def dedup(key, pdfs, state: GroupState):
+        band_idx = int(key[0])
+        if state.exists:
+            seqs, ids, fps = (list(x) for x in state.get)
+        else:
+            seqs, ids, fps = [], [], []
+        chunks = list(pdfs)
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+            for _, r in pdf.iterrows():
+                fp, seq, did = int(r["fp"]), int(r["seq"]), int(r["doc_id"])
+                dup_of = None
+                for f, i in zip(fps, ids):  # seq-ordered: first hit = earliest
+                    if bin(fp ^ f).count("1") <= max_distance:
+                        dup_of = i
+                        break
+                rows.append((did, seq, band_idx, dup_of is not None, dup_of))
+                if len(seqs) < max_state:
+                    seqs.append(seq)
+                    ids.append(did)
+                    fps.append(fp)
+        state.update((seqs, ids, fps))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "seq", "band_idx", "is_dup", "dup_of"]
+        )
+
+    return bands.groupBy("band_idx", "band_bits").applyInPandasWithState(
+        dedup,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def collapse_band_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Doc-level verdict from the per-band rows (batch aggregation, e.g.
+    inside foreachBatch): dup iff ANY band flagged it; the canonical match
+    is the smallest matching doc id across bands (deterministic)."""
+    return verdicts.groupBy("doc_id", "seq").agg(
+        F.max("is_dup").alias("is_dup"), F.min("dup_of").alias("dup_of")
     )

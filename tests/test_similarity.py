@@ -87,3 +87,27 @@ def test_ivf_assign_plan_is_aggregate_not_window(spark):
     plan = ivf_assign(emb, fixed_centroid_table(emb))._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_ivf_assign_flat_matches_join_and_has_no_join_plan(spark):
+    """ivf_assign_flat (single-projection fold over a literal centroid
+    array) must produce the identical assignment as the broadcast-join
+    ivf_assign — same argmax, same lowest-id tie rule — with a physical
+    plan containing no join or exchange at all."""
+    from aide_spark.operators.similarity import (
+        fixed_centroid_table, ivf_assign, ivf_assign_flat,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents_df = fixed_centroid_table(emb, every=10, k=8)
+    cents = [(r.cluster, list(r.centroid)) for r in cents_df.collect()]
+
+    flat = ivf_assign_flat(emb, cents)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:400]
+
+    got = {r.vec_id: r.cluster for r in flat.collect()}
+    want = {r.vec_id: r.cluster for r in ivf_assign(emb, cents_df).collect()}
+    assert got == want

@@ -116,3 +116,58 @@ def test_stateful_balance_classifier_matches_lag(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_near_dup_filter_matches_sequential_reference(spark, tmp_path):
+    """near_dup_stream must flag exactly what an order-aware sequential scan
+    flags: for each arriving doc, dup iff some EARLIER doc shares a band and
+    sits within Hamming distance 3 — across micro-batch boundaries (state
+    carries), with the identical canonical-match rule."""
+    from aide_spark.streaming.stream import collapse_band_verdicts, near_dup_stream
+
+    rng_fps = []
+    base = 0x5A5A_1234
+    for i in range(60):
+        if i % 7 == 3:
+            fp = rng_fps[i - 3][2] ^ (1 << (i % 32))        # near-dup of an earlier doc
+        elif i % 11 == 5:
+            fp = rng_fps[i - 5][2]                          # exact dup
+        else:
+            fp = (base * (i + 13) * 2654435761) & 0xFFFF_FFFF
+        rng_fps.append((i, 1000 + i, fp))
+    df = spark.createDataFrame(rng_fps, "seq long, doc_id long, simhash long")
+
+    # two parquet files => at least two micro-batch splits under availableNow
+    path = str(tmp_path / "fps")
+    df.where("seq < 30").coalesce(1).write.mode("append").parquet(path)
+    df.where("seq >= 30").coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        near_dup_stream(stream).writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id): (r.is_dup, r.dup_of)
+        for r in collapse_band_verdicts(spark.sql("SELECT * FROM neardup")).collect()
+    }
+
+    # sequential reference: same banding, same first-hit-in-seq-order rule,
+    # canonical = smallest matching id across bands
+    state: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    want = {}
+    for seq, did, fp in sorted(rng_fps):
+        hits = []
+        for b in range(4):
+            bucket = state.setdefault((b, (fp >> (b * 8)) & 255), [])
+            hit = next((i for f, i in bucket if bin(fp ^ f).count("1") <= 3), None)
+            if hit is not None:
+                hits.append(hit)
+            bucket.append((fp, did))
+        want[did] = (bool(hits), min(hits) if hits else None)
+    assert got == want
+    assert sum(1 for d, _ in got.values() if d) > 0  # dups actually exercised

@@ -273,6 +273,9 @@ def connected_components(
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
+    # the edge table's upstream DAG (LSH band build + pair expansion) would
+    # otherwise re-execute on EVERY round's join — persist it for the loop
+    edges.persist()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     labels.persist()
     for _ in range(max_iterations):
@@ -291,6 +294,7 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    edges.unpersist()  # the returned labels frame is itself persisted
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 

@@ -95,3 +95,48 @@ def test_debit_xor_credit(out):
             d, c = t["Debit"], t["Credit"]
             assert (d == "") or (c == ""), t
             assert (t["Transaction_Type"] == "Debit") == (c == ""), t
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: on arbitrary random graphs over 25 nodes, the min-label
+    propagation fixpoint equals a reference union-find's min-id components."""
+    from aide_spark.operators.dedup import connected_components
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = spark.createDataFrame([(n,) for n in range(25)], "doc_id long")
+    if norm:
+        pairs = spark.createDataFrame(norm, "d1 long, d2 long")
+    else:
+        pairs = spark.createDataFrame([], "d1 long, d2 long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, nodes).collect()}
+
+    parent = list(range(25))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    comp_min: dict[int, int] = {}
+    for n in range(25):
+        comp_min.setdefault(find(n), n)  # nodes ascend, so first seen = min
+    for n in range(25):
+        want[n] = comp_min[find(n)]
+    assert got == want

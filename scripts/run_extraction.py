@@ -50,7 +50,12 @@ def build_raw_docs(spark, input_path: str, passwords_path: str | None = None):
         raw = raw.withColumn("password", F.lit(None).cast("string"))
     return (
         ingest_binary_pdf(
-            raw, password_col="password", passthrough=["declared_size_mb"]
+            raw,
+            password_col="password",
+            passthrough=["declared_size_mb"],
+            # real /Info document metadata (decrypted, UTF-16-decoded) so
+            # the V7 probe runs on raw files — same single pass over bytes
+            with_metadata=True,
         )
         .withColumn("bank_id", F.regexp_extract("doc_id", r"^([A-Z]+)-", 1))
         .withColumn(
@@ -59,7 +64,6 @@ def build_raw_docs(spark, input_path: str, passwords_path: str | None = None):
                 F.col("bank_id").isin("UNION", "CANARA", "APGVB"), F.col("bank_id")
             ),
         )
-        .withColumn("pdf_meta", F.lit(None).cast("map<string,string>"))
     )
 
 

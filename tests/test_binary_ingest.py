@@ -438,3 +438,32 @@ def test_v7_metadata_probe_on_raw_bytes(spark):
     assert row.author is None  # truthy-drop: '' → NULL (pdf_validator.py:258)
     assert row.producer == "aide"
     assert row.subject is None
+
+
+def test_build_raw_docs_carries_real_info_metadata(spark, tmp_path):
+    """The spark-submit raw branch now fills pdf_meta from the real /Info
+    dict (decrypted), so the V7 probe works on deployed raw files."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from run_extraction import build_raw_docs
+
+    from aide_spark.operators.validation import extract_pdf_metadata
+    from aide_spark.sources.pdf_codec import encode_pdf
+
+    doc = next(d for d in corpus(8) if d["spans"] is not None)
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    meta = {"/Title": "Relevé – 報告", "/Author": ""}
+    (pdf_dir / "UNION-m.pdf").write_bytes(
+        encode_pdf(doc["spans"], metadata=meta, password="pw", cipher="aesv2")
+    )
+    pw_path = str(tmp_path / "pw.parquet")
+    spark.createDataFrame(
+        [("UNION-m", "pw")], "doc_id string, password string"
+    ).write.parquet(pw_path)
+
+    docs = build_raw_docs(spark, str(pdf_dir), pw_path)
+    row = extract_pdf_metadata(docs).collect()[0]
+    assert row.title == "Relevé – 報告"
+    assert row.author is None  # truthy-drop

@@ -363,3 +363,27 @@ def test_pdf_cid_tounicode_text_decodes():
     plain = pdf.replace(b"/F9 12 Tf ", b"")
     spans = decode_pdf_bytes(plain)
     assert "Ж" not in spans[0]["text"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 13),
+    nch=st.sampled_from([1, 3]),
+    refine=st.booleans(),
+    data=st.binary(min_size=1, max_size=17 * 13 * 3),
+)
+def test_jpeg_progressive_decodes_identical_to_baseline(w, h, nch, refine, data):
+    """The strongest progressive invariant: a progressive scan script
+    (spectral selection; with refine also successive approximation Al=1→0)
+    carries the IDENTICAL coefficients as the baseline encoding of the same
+    pixels, so the decoded output must be byte-identical — exercising SOF2,
+    multi-scan parsing, DC/AC first + refinement scans, and EOBRUN."""
+    from aide_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    need = w * h * nch
+    px = (data * (need // len(data) + 1))[:need]
+    base = decode_jpeg(encode_jpeg(w, h, nch, px))
+    prog = decode_jpeg(encode_jpeg(w, h, nch, px, progressive=True, refine=refine))
+    assert base is not None and prog is not None
+    assert base == prog

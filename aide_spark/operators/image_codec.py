@@ -1,13 +1,16 @@
-"""From-scratch image codecs — PNG and binary PNM — using only the stdlib.
+"""From-scratch image codecs — PNG, GIF and binary PNM — stdlib only.
 
 The north star treats media as opaque binary columns with decode /
 feature-extract as vectorized UDF stages; this module makes the decode REAL
-for the two formats expressible without native image libraries (which this
+for the formats expressible without native image libraries (which this
 environment lacks): PNG (zlib inflate + scanline unfilter, spec ISO 15948
-§9: filters None/Sub/Up/Average/Paeth; 8-bit gray, gray+alpha, RGB, RGBA
-and palette color) and binary PNM (P5 gray / P6 RGB). Anything else (JPEG,
-video, audio) still falls to the deterministic stub in
-:mod:`aide_spark.operators.multimodal` — honestly labeled there.
+§9: filters None/Sub/Up/Average/Paeth; 8-bit gray, gray+alpha, RGB, RGBA,
+palette color, and Adam7 interlacing), GIF87a/89a (from-scratch LZW with
+variable code widths, clear/EOI codes and 4-pass interlace), binary PNM
+(P5 gray / P6 RGB), and — in :mod:`aide_spark.operators.jpeg_codec` —
+baseline + progressive JPEG. Only video/compressed audio fall to the
+deterministic stub in :mod:`aide_spark.operators.multimodal` — honestly
+labeled there.
 
 Decoders return ``None`` for malformed/unsupported payloads (the quarantine
 convention shared with the PDF codec), never raise.
@@ -22,12 +25,18 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
 
+# Adam7 pass geometry: (x start, y start, x step, y step) — ISO 15948 §8.2
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes] | None:
     """PNG bytes → (width, height, channels, interleaved 8-bit pixels).
 
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced. Palette
-    images are expanded to RGB. Returns None otherwise."""
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced AND Adam7
+    interlaced. Palette images are expanded to RGB. Returns None otherwise."""
     if not isinstance(data, (bytes, bytearray)) or data[:8] != PNG_MAGIC:
         return None
     data = bytes(data)
@@ -52,45 +61,72 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes] | None:
             break
         i += 12 + ln
     nch = _CHANNELS.get(ct)
-    if not w or not h or bd != 8 or interlace != 0 or nch is None:
+    if not w or not h or bd != 8 or interlace not in (0, 1) or nch is None:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        return None
-    out = bytearray()
-    prev = bytes(stride)
-    pos = 0
-    for _row in range(h):
-        f = raw[pos]
-        cur = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += stride + 1
-        if f == 1:  # Sub
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                cur[x] = (cur[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                c = prev[x - nch] if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-        elif f != 0:
+
+    def unfilter(data: bytes, pos: int, pw: int, ph: int) -> tuple[bytearray, int] | None:
+        """One (sub)image of ``ph`` filtered scanlines of ``pw`` pixels →
+        raw pixel bytes + new cursor."""
+        stride = pw * nch
+        if pos + ph * (stride + 1) > len(data):
             return None
-        out += cur
-        prev = bytes(cur)
+        px = bytearray()
+        prev = bytes(stride)
+        for _row in range(ph):
+            f = data[pos]
+            cur = bytearray(data[pos + 1 : pos + 1 + stride])
+            pos += stride + 1
+            if f == 1:  # Sub
+                for x in range(nch, stride):
+                    cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+            elif f == 2:  # Up
+                for x in range(stride):
+                    cur[x] = (cur[x] + prev[x]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = cur[x - nch] if x >= nch else 0
+                    cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = cur[x - nch] if x >= nch else 0
+                    b = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            elif f != 0:
+                return None
+            px += cur
+            prev = bytes(cur)
+        return px, pos
+
+    if interlace == 0:
+        r = unfilter(raw, 0, w, h)
+        if r is None:
+            return None
+        out = r[0]
+    else:  # Adam7: 7 independently-filtered passes scattered into place
+        out = bytearray(w * h * nch)
+        pos = 0
+        for xs, ys, xstep, ystep in ADAM7_PASSES:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            r = unfilter(raw, pos, pw, ph)
+            if r is None:
+                return None
+            px, pos = r
+            for ry in range(ph):
+                for rx in range(pw):
+                    src = (ry * pw + rx) * nch
+                    dst = ((ys + ry * ystep) * w + (xs + rx * xstep)) * nch
+                    out[dst : dst + nch] = px[src : src + nch]
     if ct == 3:  # palette → RGB
         if plte is None:
             return None
@@ -103,8 +139,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes] | None:
     return w, h, nch, bytes(out)
 
 
-def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
-    """(width, height, channels, 8-bit pixels) → PNG (filter 0 scanlines)."""
+def encode_png(
+    w: int, h: int, channels: int, pixels: bytes, interlace: bool = False
+) -> bytes:
+    """(width, height, channels, 8-bit pixels) → PNG (filter 0 scanlines;
+    ``interlace=True`` emits the Adam7 pass layout for decoder tests)."""
     ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
@@ -116,13 +155,30 @@ def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     stride = w * channels
     if len(pixels) != h * stride:
         raise ValueError("pixel buffer does not match dimensions")
-    raw = b"".join(
-        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(h)
-    )
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(h)
+        )
+    else:
+        parts = []
+        for xs, ys, xstep, ystep in ADAM7_PASSES:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            for ry in range(ph):
+                row = bytearray(b"\x00")
+                y = ys + ry * ystep
+                for rx in range(pw):
+                    x = xs + rx * xstep
+                    src = (y * w + x) * channels
+                    row += pixels[src : src + channels]
+                parts.append(bytes(row))
+        raw = b"".join(parts)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                + bytes([8, ct, 0, 0, 0]))
+                + bytes([8, ct, 0, 0, int(interlace)]))
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -149,8 +205,188 @@ def encode_pnm(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     return magic + b"\n%d %d\n255\n" % (w, h) + pixels
 
 
+GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start row, step)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int] | None:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable code width starting
+    at ``min_code + 1``, CLEAR resets the table, EOI terminates."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = {i: [i] for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    width = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # tolerate missing EOI (common in the wild)
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """GIF87a/89a → (width, height, 3, RGB pixels) of the FIRST image frame
+    (frame-local dims), color indices mapped through the local-or-global
+    color table; 4-pass interlace supported. From-scratch LZW, stdlib only."""
+    if not isinstance(data, (bytes, bytearray)) or bytes(data[:6]) not in (
+        b"GIF87a", b"GIF89a",
+    ):
+        return None
+    data = bytes(data)
+    try:
+        flags = data[10]
+        gct = None
+        i = 13
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = data[i : i + 3 * n]
+            i += 3 * n
+        while i < len(data):
+            b = data[i]
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(data) and data[i]:
+                    i += 1 + data[i]
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                w = int.from_bytes(data[i + 5 : i + 7], "little")
+                h = int.from_bytes(data[i + 7 : i + 9], "little")
+                iflags = data[i + 9]
+                i += 10
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    ct = data[i : i + 3 * n]
+                    i += 3 * n
+                if ct is None or not w or not h or w * h > 50_000_000:
+                    return None
+                min_code = data[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(data) and data[i]:
+                    ln = data[i]
+                    lzw += data[i + 1 : i + 1 + ln]
+                    i += 1 + ln
+                idx = _lzw_decode(bytes(lzw), min_code)
+                if idx is None or len(idx) < w * h:
+                    return None
+                if iflags & 0x40:  # interlaced: reorder rows
+                    rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                    ordered: list[list[int]] = [[]] * h
+                    src = 0
+                    for start, step in GIF_INTERLACE_PASSES:
+                        for y in range(start, h, step):
+                            ordered[y] = rows[src]
+                            src += 1
+                    idx = [v for row in ordered for v in row]
+                px = bytearray()
+                for v in idx[: w * h]:
+                    if 3 * v + 3 > len(ct):
+                        return None
+                    px += ct[3 * v : 3 * v + 3]
+                return w, h, 3, bytes(px)
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except IndexError:
+        return None
+    return None
+
+
+def encode_gif(w: int, h: int, pixels_rgb: bytes, interlace: bool = False) -> bytes:
+    """RGB pixels → single-frame GIF89a for decoder tests: palette built
+    from the distinct colors (≤256 required), LZW emitted in the trivially-
+    valid CLEAR-per-pixel form (no compression, spec-conformant)."""
+    if len(pixels_rgb) != w * h * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    colors: dict[bytes, int] = {}
+    idx = []
+    for p in range(w * h):
+        c = bytes(pixels_rgb[3 * p : 3 * p + 3])
+        if c not in colors:
+            colors[c] = len(colors)
+        idx.append(colors[c])
+    if len(colors) > 256:
+        raise ValueError("more than 256 distinct colors")
+    depth = max(2, (len(colors) - 1).bit_length())  # GIF min code size ≥ 2
+    n = 1 << depth
+    table = b"".join(sorted(colors, key=colors.get)) + b"\x00" * (3 * (n - len(colors)))
+
+    if interlace:
+        order = []
+        for start, step in GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        idx = [v for y in order for v in idx[y * w : (y + 1) * w]]
+
+    clear, eoi = 1 << depth, (1 << depth) + 1
+    width = depth + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx:  # CLEAR before every pixel: table never grows
+        emit(clear)
+        emit(v)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for p in range(0, len(out), 255):
+        chunk = out[p : p + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    gflags = 0x80 | (depth - 1)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([gflags, 0, 0]) + table
+        + b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0, depth])
+        + bytes(blocks) + b"\x00" + b"\x3b"
+    )
+
+
 def sniff_codec(data: bytes) -> str | None:
-    """Magic-byte format sniff: 'png' / 'pnm' / 'jpeg' / None."""
+    """Magic-byte format sniff: 'png' / 'pnm' / 'jpeg' / 'gif' / None."""
     if not isinstance(data, (bytes, bytearray)):
         return None
     head = bytes(data[:8])
@@ -160,6 +396,8 @@ def sniff_codec(data: bytes) -> str | None:
         return "pnm"
     if head[:2] == b"\xff\xd8":
         return "jpeg"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -171,6 +409,8 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes] | None:
         return decode_png(data)
     if codec == "pnm":
         return decode_pnm(data)
+    if codec == "gif":
+        return decode_gif(data)
     if codec == "jpeg":
         from .jpeg_codec import decode_jpeg
 

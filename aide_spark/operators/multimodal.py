@@ -2,7 +2,8 @@
 Arrow-batched vectorized UDFs over ``mapInPandas`` (SURVEY.md §2.12(a) — the
 only place Python touches row data, and only in Arrow batches).
 
-Image decode is REAL for PNG, binary PNM and JPEG (baseline + progressive) — the
+Image decode is REAL for PNG (incl. Adam7), GIF (LZW), binary PNM and
+JPEG (baseline + progressive) — the
 from-scratch codecs in :mod:`aide_spark.operators.image_codec` and
 :mod:`aide_spark.operators.jpeg_codec` (stdlib only; no image library
 needed); WAV PCM audio likewise (:mod:`.audio_codec`). Formats outside that

@@ -44,7 +44,16 @@ def encode_spans(spans: list[tuple]) -> bytes:
 
 
 def decode_container(payload: bytes) -> list[dict] | None:
-    """bytes → span dicts; None for undecodable payloads (quarantine path)."""
+    """bytes → span dicts; None for undecodable payloads (quarantine path).
+    gzip-transparent: a ``1f 8b`` magic is decompressed first — web-crawl
+    text payloads overwhelmingly arrive gzipped (WARC convention)."""
+    if isinstance(payload, (bytes, bytearray)) and bytes(payload[:2]) == b"\x1f\x8b":
+        import gzip
+
+        try:
+            payload = gzip.decompress(bytes(payload))
+        except (OSError, EOFError):
+            return None
     try:
         text = payload.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):

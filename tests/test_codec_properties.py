@@ -387,3 +387,61 @@ def test_jpeg_progressive_decodes_identical_to_baseline(w, h, nch, refine, data)
     prog = decode_jpeg(encode_jpeg(w, h, nch, px, progressive=True, refine=refine))
     assert base is not None and prog is not None
     assert base == prog
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    data=st.binary(min_size=1, max_size=20 * 14 * 4),
+)
+def test_png_adam7_round_trip(w, h, nch, data):
+    """Adam7-interlaced PNG must decode to the identical pixel buffer: the
+    7 passes are independently filtered and scattered back into place."""
+    from aide_spark.operators.image_codec import decode_png, encode_png
+
+    need = w * h * nch
+    px = (data * (need // len(data) + 1))[:need]
+    assert decode_png(encode_png(w, h, nch, px, interlace=True)) == (w, h, nch, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    interlace=st.booleans(),
+    data=st.binary(min_size=3, max_size=24),
+)
+def test_gif_round_trip(w, h, interlace, data):
+    """GIF87a/89a LZW decode: a palette image round-trips exactly, plain and
+    4-pass interlaced (palette drawn from ≤8 distinct colors)."""
+    from aide_spark.operators.image_codec import decode_gif, encode_gif
+
+    palette = [bytes(data[i : i + 3].ljust(3, b"\x01")) for i in range(0, len(data), 3)]
+    px = b"".join(palette[(x * 7 + y * 3) % len(palette)]
+                  for y in range(h) for x in range(w))
+    assert decode_gif(encode_gif(w, h, px, interlace=interlace)) == (w, h, 3, px)
+
+
+@settings(**SETTINGS)
+@given(payload=st.binary(max_size=200))
+def test_gif_decoder_never_raises_on_garbage(payload):
+    from aide_spark.operators.image_codec import decode_gif
+
+    decode_gif(payload)
+    decode_gif(b"GIF89a" + payload)
+
+
+def test_container_decode_is_gzip_transparent():
+    """A gzipped container payload (1f 8b magic — the WARC convention)
+    decodes to the same spans as the plain bytes; truncated gzip
+    quarantines (None)."""
+    import gzip
+
+    from aide_spark.sources.binary_ingest import decode_container, encode_spans
+
+    spans = [("text", "hello web", "", 0), ("media", "", "img://x/1", 1)]
+    raw = encode_spans(spans)
+    assert decode_container(gzip.compress(raw)) == decode_container(raw)
+    assert decode_container(gzip.compress(raw)[:-4]) is None

@@ -208,6 +208,63 @@ def encode_pnm(w: int, h: int, channels: int, pixels: bytes) -> bytes:
 GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start row, step)
 
 
+def _lzw_encode(idx: list[int], depth: int) -> bytearray:
+    """Real GIF LZW compression (dictionary build + CLEAR on table full),
+    so the decoder's growth / width-increase / KwKwK paths get exercised by
+    round-trip tests. Code widths follow the DECODER's growth schedule
+    (width++ when ITS next_code hits 2^width), simulated during packing —
+    the encoder's table runs one entry ahead, which the decoder's KwKwK
+    branch absorbs."""
+    clear, eoi = 1 << depth, (1 << depth) + 1
+    codes: list[int] = [clear]
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    buf: tuple[int, ...] = ()
+    for v in idx:
+        nxt = buf + (v,)
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        buf = (v,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(eoi)
+
+    out = bytearray()
+    width = depth + 1
+    acc = nbits = 0
+    dec_next = eoi + 1
+    started = False
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width = depth + 1
+            dec_next = eoi + 1
+            started = False
+        elif code != eoi:
+            if started and dec_next < 4096:
+                dec_next += 1
+                if dec_next == (1 << width) and width < 12:
+                    width += 1
+            started = True
+    if nbits:
+        out.append(acc & 0xFF)
+    return out
+
+
 def _lzw_decode(data: bytes, min_code: int) -> list[int] | None:
     """GIF-flavor LZW (GIF89a spec appendix F): variable code width starting
     at ``min_code + 1``, CLEAR resets the table, EOI terminates."""
@@ -348,26 +405,7 @@ def encode_gif(w: int, h: int, pixels_rgb: bytes, interlace: bool = False) -> by
             order.extend(range(start, h, step))
         idx = [v for y in order for v in idx[y * w : (y + 1) * w]]
 
-    clear, eoi = 1 << depth, (1 << depth) + 1
-    width = depth + 1
-    acc = nbits = 0
-    out = bytearray()
-
-    def emit(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    for v in idx:  # CLEAR before every pixel: table never grows
-        emit(clear)
-        emit(v)
-    emit(eoi)
-    if nbits:
-        out.append(acc & 0xFF)
+    out = _lzw_encode(idx, depth)
 
     blocks = bytearray()
     for p in range(0, len(out), 255):

@@ -445,3 +445,17 @@ def test_container_decode_is_gzip_transparent():
     raw = encode_spans(spans)
     assert decode_container(gzip.compress(raw)) == decode_container(raw)
     assert decode_container(gzip.compress(raw)[:-4]) is None
+
+
+def test_gif_lzw_dictionary_growth_and_runs():
+    """Real-LZW streams (not clear-per-pixel): large images force dictionary
+    growth across several code widths; long runs hit the KwKwK case; a
+    128×128 four-band image crosses thousands of dictionary entries."""
+    from aide_spark.operators.image_codec import decode_gif, encode_gif
+
+    px = b"".join(bytes([(i // 64) % 4 * 80, 0, 0]) for i in range(128 * 128))
+    assert decode_gif(encode_gif(128, 128, px)) == (128, 128, 3, px)
+    pal = [bytes([c, 255 - c, (c * 7) % 256]) for c in range(0, 199, 2)]
+    px = b"".join(pal[(x * x + y) % len(pal)] for y in range(30) for x in range(40))
+    for inter in (False, True):
+        assert decode_gif(encode_gif(40, 30, px, interlace=inter)) == (40, 30, 3, px)

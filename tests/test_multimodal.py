@@ -117,7 +117,7 @@ def test_image_decoders_reject_malformed():
     assert decode_pnm(b"P6\n3 3\n65535\n" + bytes(27)) is None  # 16-bit maxval
     assert decode_pnm(b"P6\n4 4\n255\n" + bytes(5)) is None  # short pixels
     assert decode_image(b"\xff\xd8\xff JPEG soi") is None  # unsupported → stub path
-    # interlaced PNG honestly rejected
+    # Adam7-interlaced PNG decodes since r4 (1×1 = single pass-1 pixel)
     ihdr = (1).to_bytes(4, "big") * 2 + bytes([8, 0, 0, 0, 1])
 
     def chunk(typ, data):
@@ -130,7 +130,13 @@ def test_image_decoders_reject_malformed():
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
     )
-    assert decode_png(png) is None
+    assert decode_png(png) == (1, 1, 1, b"\x00")
+    # truncated interlaced pass data still quarantines
+    short = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    assert decode_png(short) is None
 
 
 def test_wav_round_trip_and_formats():

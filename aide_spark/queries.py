@@ -939,9 +939,10 @@ _SIMHASH_FP_SQL = """
 def dedup_simhash(spark, sf_dir):
     """SimHash fingerprint: per-bit majority vote over token hashes — near-
     dups differ in few bits (Hamming ball join at scale: see
-    dedup_simhash_hamming below)."""
+    dedup_simhash_hamming below). Computed via the explode+aggregate form
+    (each token hashed once; the expression form re-hashes per bit)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return d.select("doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash"))
+    return H.simhash32_table(d)
 
 
 @q(
@@ -966,7 +967,7 @@ def dedup_simhash_hamming(spark, sf_dir):
     from .operators.dedup import simhash_hamming_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    fps = d.select("doc_id", H.simhash32(H.tokens(F.col("text"))).alias("simhash"))
+    fps = H.simhash32_table(d)
     return simhash_hamming_pairs(fps, max_distance=3, n_bands=4, max_bucket_size=64)
 
 

@@ -33,8 +33,11 @@ HEADLINE = [
     "p10_lag_classification",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "dedup_components",
     "ann_cosine_topk",
     "text_quality_score",
+    "multimodal_decode_real",
     "e2e_union_extract",
 ]
 

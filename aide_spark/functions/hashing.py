@@ -84,8 +84,12 @@ def simhash32_table(docs, text_col: str = "text", id_col: str = "doc_id"):
     final fingerprint assembly. The single-expression form above re-hashes
     every token per bit under CollapseProject (the same trap as MinHash —
     measured ~6× slower end-to-end); this form is one shuffle on the doc id
-    with map-side partial aggregation. Bit-identical output."""
-    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+    with map-side partial aggregation. Bit-identical output — including
+    NULL-text docs: ``explode`` of a null array emits no rows (the doc would
+    silently vanish), so ``explode_outer`` keeps one null-token row whose
+    null hash makes every per-bit sum NULL → fingerprint 0, exactly what the
+    expression form returns for null text."""
+    toks = docs.select(id_col, F.explode_outer(tokens(F.col(text_col))).alias("t"))
     hashed = toks.select(id_col, token_hash32(F.col("t")).alias("hv"))
     sums = hashed.groupBy(id_col).agg(
         *[

@@ -250,6 +250,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster assembly: candidate pairs (d1, d2) → (doc_id,
     component), component = min doc id reachable through the pair graph —
@@ -269,6 +270,19 @@ def connected_components(
 
     ``nodes`` supplies the universe (singletons keep their own id as
     component — same rows the DuckDB recursive-closure oracle emits).
+
+    **Convergence contract**: if the loop exhausts ``max_iterations`` while
+    labels are still changing (pair-graph diameter > ``max_iterations``), the
+    result is UNCONVERGED — ``strict=True`` (default) raises RuntimeError so
+    a silently-wrong component table can never flow downstream;
+    ``strict=False`` logs a warning and returns the partial labels (for
+    exploratory use only).
+
+    **Cache-ownership contract**: the returned labels frame is persisted
+    (unpersisting it here would make the caller's first action replay every
+    propagation round). The CALLER owns it and must ``.unpersist()`` when
+    done — pinned by tests/test_plans.py (no persistent RDDs remain after a
+    components round-trip + caller unpersist).
     """
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
@@ -277,7 +291,13 @@ def connected_components(
     # otherwise re-execute on EVERY round's join — persist it for the loop
     edges.persist()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels.persist()
+    # `cur` tracks the frame whose plan is ACTUALLY cached each round —
+    # unpersist must be called on that exact frame: unpersisting a select()
+    # of it is a silent no-op (uncacheQuery matches on sameResult), which is
+    # how every round's cache leaked before r5
+    cur = labels
+    cur.persist()
+    changed = 0
     for _ in range(max_iterations):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -290,12 +310,32 @@ def connected_components(
         )
         new_labels.persist()
         changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
-        labels.unpersist()
+        cur.unpersist()  # previous round's cache; new_labels is materialized
+        cur = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    edges.unpersist()  # the returned labels frame is itself persisted
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(pair-graph diameter exceeds max_iterations); labels are partial"
+        )
+        if strict:
+            cur.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # hand the caller a frame whose OWN plan is the cached one, so the
+    # caller's .unpersist() actually frees it: cache the aliased projection,
+    # materialize it with one narrow pass over the still-cached last round,
+    # then drop the loop's cache
+    result = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    result.persist()
+    result.count()
+    cur.unpersist()
+    return result
 
 
 def cosine_verify_pairs(

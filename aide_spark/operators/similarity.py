@@ -56,7 +56,9 @@ def fixed_centroid_table(
     )
 
 
-def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, flat_threshold: int = 100
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     pick argmax cosine per vector with ``max_by`` over a (sim, -cluster)
     struct — a map-side-combinable aggregate, NOT a window, so assignment
@@ -65,9 +67,18 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
 
     Cost note (r3 VERDICT): the crossJoin fans out k×N rows map-side before
     the partial aggregate collapses them — flat in shuffle but linear in k
-    at the mapper. Intended for the COARSE quantizer (k ≤ ~100); for large
-    k, fold the broadcast centroid array into one projection with
-    ``F.aggregate`` instead of a join."""
+    at the mapper. Above ``flat_threshold`` centroids (the measured ~k=100
+    crossover where k×N row overhead dominates) this auto-delegates to
+    :func:`ivf_assign_flat`, which folds the centroids into one literal
+    projection — callers no longer need to know the cost note. The centroid
+    table is small by contract (it is broadcast either way), so the
+    ``count``/``collect`` spent deciding/delegating is a few driver ms."""
+    if centroids.count() > flat_threshold:
+        cents = [
+            (int(r["cluster"]), [float(x) for x in r["centroid"]])
+            for r in centroids.select("cluster", "centroid").collect()
+        ]
+        return ivf_assign_flat(embeddings, cents)
     joined = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
         "csim", cosine(F.col("embedding"), F.col("centroid"))
     )

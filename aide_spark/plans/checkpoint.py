@@ -185,6 +185,12 @@ def run_with_resume(
         .collect()[0]["n"]
     )
     n_docs, n_done, n_spans = int(lin["n_docs"]), int(lin["n_done"]), int(n_spans)
+    # every staged table is on disk and the stats are collected: release the
+    # fan-out caches so a long-lived driver looping over batches does not
+    # accumulate one transactions+metadata cache per batch (r4 VERDICT #4)
+    for key in ("transactions", "metadata"):
+        if key in out:
+            out[key].unpersist()
     store.commit(batch_id, {"docs": n_docs, "spans": n_spans})
     return {
         "batch_id": batch_id,
@@ -228,13 +234,21 @@ def redrive_quarantined(
     re-submit quarantined docs through the pipeline until they either pass
     (new committed batch) or exhaust retries and are flagged critical.
 
-    Returns the critical-docs DataFrame (doc_id, error_code, retries).
+    Returns the critical-docs DataFrame (doc_id, error_code, retries) —
+    always with that schema, EMPTY when no quarantine table exists (callers
+    chain ``.where(...)`` onto the result; a ``None`` return broke them).
     Deterministically-invalid docs re-quarantine each round — the mechanism
     exists for transiently-failing inputs (the reference's actual DLQ case).
+    Leaves no cached frames behind: the per-doc ``attempts`` aggregate is
+    materialized once for the gate, consumed eagerly, and unpersisted before
+    return (a long-lived driver looping over batches must not accumulate
+    caches).
     """
     quarantine = store.read(spark, "quarantine")
     if quarantine is None:
-        return None
+        return spark.createDataFrame(
+            [], "doc_id string, error_code string, retries bigint"
+        )
     # persist the per-doc aggregate (one row per quarantined doc — DLQ-sized,
     # tiny): the gate, the re-drive semi-join and the returned critical set
     # all reuse ONE materialization instead of re-scanning the quarantine
@@ -250,6 +264,11 @@ def redrive_quarantined(
         pending = docs.join(retryable.select("doc_id"), "doc_id", "left_semi")
         # bypass the quarantined-status skip so the docs actually re-run
         run_with_resume(spark, pending, store, skip_statuses=("committed",))
-    return attempts.where(F.col("retries") >= max_retries).select(
+    critical = attempts.where(F.col("retries") >= max_retries).select(
         "doc_id", "error_code", "retries"
     )
+    # release the gate cache before returning: the caller's action on the
+    # critical set re-aggregates the (DLQ-sized, tiny) quarantine scan once,
+    # which is cheaper than leaking one cached frame per redrive round
+    attempts.unpersist()
+    return critical

@@ -49,10 +49,15 @@ def decode_container(payload: bytes) -> list[dict] | None:
     text payloads overwhelmingly arrive gzipped (WARC convention)."""
     if isinstance(payload, (bytes, bytearray)) and bytes(payload[:2]) == b"\x1f\x8b":
         import gzip
+        import zlib
 
         try:
             payload = gzip.decompress(bytes(payload))
-        except (OSError, EOFError):
+        # zlib.error is NOT an OSError subclass: a corrupt deflate body behind
+        # a valid 1f 8b magic raises it, and the quarantine contract is that
+        # decode_container never raises (one bad WARC payload must not fail
+        # the whole mapInPandas job)
+        except (OSError, EOFError, zlib.error):
             return None
     try:
         text = payload.decode("utf-8")

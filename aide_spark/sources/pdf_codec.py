@@ -1334,18 +1334,30 @@ def _extract_info(ctx: dict) -> tuple[dict[str, str] | None, str]:
     ``{'/Title': ..., ...}`` (``{}`` when absent)."""
     objs, payload = ctx["objs"], ctx["payload"]
 
-    t = payload.rfind(b"trailer")
-    if t >= 0:
-        tail = payload[t:]
+    # Incrementally-updated files append a NEW trailer per update; the final
+    # trailer may omit /Info and rely on the /Prev chain (pypdf resolves the
+    # inherited dict). Walk every trailer newest-first and take the /Info
+    # from the newest one that defines it — rfind of the last trailer alone
+    # silently lost V7 metadata on that common real-file shape.
+    t_starts = [m.start() for m in re.finditer(rb"trailer", payload)]
+    im = None
+    if t_starts:
+        for idx in range(len(t_starts) - 1, -1, -1):
+            end = t_starts[idx + 1] if idx + 1 < len(t_starts) else len(payload)
+            im = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", payload[t_starts[idx]:end])
+            if im:
+                break
     else:  # xref-stream file: trailer fields live in /XRef dict heads
         heads = []
-        for body in objs.values():
+        for body in objs.values():  # scan order: appended updates come later
             sm = re.search(rb"stream\r?\n", body)
             head = body[: sm.start()] if sm else body
             if b"/XRef" in head:
                 heads.append(head)
-        tail = b"\n".join(heads) if heads else payload
-    im = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", tail)
+        for head in reversed(heads) if heads else [payload]:
+            im = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", head)
+            if im:
+                break
     if not im:
         return {}, "OK"
     num = int(im.group(1))

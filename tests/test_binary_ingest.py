@@ -467,3 +467,24 @@ def test_build_raw_docs_carries_real_info_metadata(spark, tmp_path):
     row = extract_pdf_metadata(docs).collect()[0]
     assert row.title == "Relevé – 報告"
     assert row.author is None  # truthy-drop
+
+
+def test_incremental_update_inherits_info_from_prev_trailer():
+    """Incrementally-updated PDFs append a new trailer that may omit /Info,
+    relying on the /Prev chain; /Info must come from the newest trailer that
+    defines one instead of silently vanishing (ADVICE r4)."""
+    from aide_spark.sources.pdf_codec import decode_pdf_metadata, encode_pdf
+
+    meta = {"/Title": "Quarterly Report", "/Author": "Ops"}
+    base = encode_pdf([("text", "hello", "", 0)], metadata=meta)
+    update = (
+        b"\nxref\n0 0\ntrailer\n<< /Size 9 /Root 1 0 R /Prev "
+        + str(base.rfind(b"startxref")).encode()
+        + b" >>\nstartxref\n"
+        + str(len(base) + 1).encode()
+        + b"\n%%EOF\n"
+    )
+    assert b"/Info" not in update  # the final trailer really omits it
+    got = decode_pdf_metadata(base + update)
+    assert got is not None
+    assert got["/Title"] == "Quarterly Report" and got["/Author"] == "Ops"

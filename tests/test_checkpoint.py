@@ -180,3 +180,35 @@ def test_resume_run_triggers_no_extra_jobs(spark, store):
     assert all(a.startswith("collect at") for a in actions), actions
     # AQE may split one action into several jobs — count distinct CALL-SITES
     assert len(set(actions)) == 2, sorted(set(actions))
+
+
+def test_redrive_no_quarantine_returns_empty_frame(spark, store):
+    """No quarantine table yet → an EMPTY frame with the declared schema,
+    never None (callers chain .where(...) onto the result — r4 VERDICT #4)."""
+    from aide_spark.plans.checkpoint import redrive_quarantined
+
+    docs = local_corpus_df(spark, 4)
+    out = redrive_quarantined(spark, docs, store)
+    assert out.columns == ["doc_id", "error_code", "retries"]
+    assert out.where("retries >= 0").count() == 0
+
+
+def test_redrive_and_components_leave_no_new_caches(spark, store):
+    """Cache-ownership hygiene (r4 VERDICT #4): a batch run, a DLQ redrive
+    and a connected-components round-trip (caller honouring the unpersist
+    contract) leave the persistent-RDD registry at its baseline — nothing
+    accumulates in a long-lived driver loop."""
+    from aide_spark.operators.dedup import connected_components
+    from aide_spark.plans.checkpoint import redrive_quarantined
+
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    docs = local_corpus_df(spark, 12)
+    run_with_resume(spark, docs, store, batch_id="b1")
+    critical = redrive_quarantined(spark, docs, store, max_retries=1)
+    critical.count()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    nodes = spark.createDataFrame([(n,) for n in range(1, 5)], "doc_id long")
+    labels = connected_components(pairs, nodes)
+    labels.count()
+    labels.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

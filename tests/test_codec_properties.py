@@ -445,6 +445,11 @@ def test_container_decode_is_gzip_transparent():
     raw = encode_spans(spans)
     assert decode_container(gzip.compress(raw)) == decode_container(raw)
     assert decode_container(gzip.compress(raw)[:-4]) is None
+    # corrupted deflate BODY behind a valid header raises zlib.error (not an
+    # OSError subclass) — must quarantine, not raise (ADVICE r4, high)
+    gz = bytearray(gzip.compress(raw))
+    gz[12:16] = b"\xff\x00\xff\x00"  # stomp the deflate stream, keep the magic
+    assert decode_container(bytes(gz)) is None
 
 
 def test_gif_lzw_dictionary_growth_and_runs():

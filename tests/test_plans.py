@@ -250,3 +250,48 @@ def test_connected_components_chain_clique_singleton(spark):
     want.update({n: 20 for n in range(20, 24)})
     want[99] = 99
     assert got == want
+
+
+def test_connected_components_unconverged_contract(spark):
+    """A chain whose diameter exceeds max_iterations must not return
+    silently-partial labels: strict (default) raises, strict=False warns and
+    returns the partial result (ADVICE r4)."""
+    import warnings
+
+    from aide_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8
+    pairs = spark.createDataFrame(chain, "d1 long, d2 long")
+    nodes = spark.createDataFrame([(n,) for n in range(9)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iterations=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(pairs, nodes, max_iterations=2, strict=False)
+        assert any("did not converge" in str(w.message) for w in caught)
+    got = {r.doc_id: r.component for r in partial.collect()}
+    assert got[8] == 6  # labels propagated exactly 2 hops, not to the min
+    partial.unpersist()
+
+
+def test_simhash_table_keeps_null_text_docs(spark):
+    """simhash32_table must not drop NULL-text docs (explode of a null array
+    emits no rows — ADVICE r4): explode_outer keeps them, and their
+    fingerprint equals the single-expression form's value for null text."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.functions.hashing import simhash32, simhash32_table, tokens
+
+    df = spark.createDataFrame(
+        [("a", "hello world hello"), ("b", None), ("c", "")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash32_table(df).collect()}
+    want = {
+        r.doc_id: r.simhash
+        for r in df.select(
+            "doc_id", simhash32(tokens(F.col("text"))).alias("simhash")
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got == want

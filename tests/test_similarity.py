@@ -111,3 +111,24 @@ def test_ivf_assign_flat_matches_join_and_has_no_join_plan(spark):
     got = {r.vec_id: r.cluster for r in flat.collect()}
     want = {r.vec_id: r.cluster for r in ivf_assign(emb, cents_df).collect()}
     assert got == want
+
+
+def test_ivf_assign_auto_delegates_above_threshold(spark):
+    """r4 VERDICT #5: above flat_threshold centroids, ivf_assign dispatches
+    to the join-free literal fold (no Join in the plan); at or below it, it
+    keeps the broadcast-join + max_by aggregate."""
+    from aide_spark.operators.similarity import fixed_centroid_table, ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = fixed_centroid_table(emb, every=10, k=8)
+    joined = ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in joined
+    flat = (
+        ivf_assign(emb, cents, flat_threshold=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in flat

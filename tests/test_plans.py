@@ -295,3 +295,41 @@ def test_simhash_table_keeps_null_text_docs(spark):
     }
     assert set(got) == {"a", "b", "c"}
     assert got == want
+
+
+def test_skew_round_robin_exact_placement(spark):
+    """Exact round-robin guarantee (r5): k heavy docs into n partitions land
+    ceil(k/n) apiece — not the birthday-collision spread of hashing — and
+    placement is deterministic across invocations (idempotent resume)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aide_spark.operators.skew import repartition_by_span_count
+
+    rows = [(f"D{i:04d}", i % 7 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, heavy boolean").withColumn(
+        "sz", F.when(F.col("heavy"), 1000).otherwise(1)
+    )
+    out = repartition_by_span_count(df, 8, heavy_threshold=10, size_col=F.col("sz"))
+    loads = [
+        r["sum(h)"]
+        for r in out.select(
+            F.spark_partition_id().alias("p"), F.col("heavy").cast("int").alias("h")
+        )
+        .groupBy("p")
+        .sum("h")
+        .collect()
+    ]
+    k = sum(loads)
+    assert k == sum(1 for _i, h in rows if h)
+    assert max(loads) == math.ceil(k / 8), loads
+
+    again = repartition_by_span_count(df, 8, heavy_threshold=10, size_col=F.col("sz"))
+    place = lambda d: {  # noqa: E731
+        (r.doc_id, r.p)
+        for r in d.select("doc_id", F.spark_partition_id().alias("p"))
+        .where("heavy")
+        .collect()
+    }
+    assert place(out) == place(again)

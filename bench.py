@@ -37,7 +37,9 @@ HEADLINE = [
     "dedup_components",
     "ann_cosine_topk",
     "text_quality_score",
+    "text_lang_id_ngram",
     "multimodal_decode_real",
+    "multimodal_frame_sample",
     "e2e_union_extract",
 ]
 

@@ -464,3 +464,93 @@ def test_gif_lzw_dictionary_growth_and_runs():
     px = b"".join(pal[(x * x + y) % len(pal)] for y in range(30) for x in range(40))
     for inter in (False, True):
         assert decode_gif(encode_gif(40, 30, px, interlace=inter)) == (40, 30, 3, px)
+
+
+def test_gif_animation_frames_round_trip():
+    """Multi-frame GIF: full-canvas frames with delays decode to the exact
+    input pixels per frame, delays preserved (r4 VERDICT #8)."""
+    from aide_spark.operators.image_codec import decode_gif_frames, encode_gif_frames
+
+    w = h = 6
+    f1 = b"".join(bytes([200, 0, 0]) for _ in range(w * h))
+    f2 = b"".join(bytes([0, 200, 0]) if i % 2 else bytes([0, 0, 200]) for i in range(w * h))
+    f3 = b"".join(bytes([(i * 8) % 250, 0, 60]) for i in range(w * h))
+    gif = encode_gif_frames(
+        w, h,
+        [(10, 0, 0, w, h, f1, None, 0),
+         (20, 0, 0, w, h, f2, None, 0),
+         (30, 0, 0, w, h, f3, None, 0)],
+    )
+    got = decode_gif_frames(gif)
+    assert got is not None
+    cw, ch, frames = got
+    assert (cw, ch) == (w, h)
+    assert [d for d, _px in frames] == [10, 20, 30]
+    assert [px for _d, px in frames] == [f1, f2, f3]
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """GCE transparency: transparent pixels of a patch frame leave the
+    underlying canvas visible; opaque patch pixels overwrite it."""
+    from aide_spark.operators.image_codec import decode_gif_frames, encode_gif_frames
+
+    w = h = 4
+    red, blue = bytes([255, 0, 0]), bytes([0, 0, 255])
+    base = red * (w * h)
+    patch = blue * 4  # 2x2 at (1,1)
+    mask = [False, True, False, False]  # pixel (2,1) of the patch transparent
+    gif = encode_gif_frames(
+        w, h,
+        [(0, 0, 0, w, h, base, None, 0),
+         (5, 1, 1, 2, 2, patch, mask, 1)],
+    )
+    cw, ch, frames = decode_gif_frames(gif)
+    assert len(frames) == 2
+    want = bytearray(base)
+    for (px, py) in [(1, 1), (1, 2), (2, 2)]:  # (2,1) stays red
+        o = 3 * (py * w + px)
+        want[o:o + 3] = blue
+    assert frames[1][1] == bytes(want)
+
+
+def test_gif_disposal_background_and_previous():
+    """Disposal 2 restores the frame rect to the background color before the
+    next frame; disposal 3 restores the pre-frame canvas."""
+    from aide_spark.operators.image_codec import decode_gif_frames, encode_gif_frames
+
+    w = h = 4
+    bg = bytes([9, 9, 9])
+    red, green, blue = bytes([255, 0, 0]), bytes([0, 255, 0]), bytes([0, 0, 255])
+    base = red * (w * h)
+    allt = [True] * (w * h)  # fully-transparent probe frame: shows the canvas
+    gif = encode_gif_frames(
+        w, h,
+        [(0, 0, 0, w, h, base, None, 0),
+         (0, 1, 1, 2, 2, green * 4, None, 2),   # shown, then rect -> background
+         (0, 0, 0, w, h, red * (w * h), allt, 0),  # probe: canvas after disposal 2
+         (0, 0, 0, 2, 2, blue * 4, None, 3),    # shown, then restore previous
+         (0, 0, 0, w, h, red * (w * h), allt, 0)],  # probe: canvas after disposal 3
+        bg_color=bg,
+    )
+    cw, ch, frames = decode_gif_frames(gif)
+    assert len(frames) == 5
+    # frame 2 shows the green patch over red
+    shown = bytearray(base)
+    for (px, py) in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        o = 3 * (py * w + px)
+        shown[o:o + 3] = green
+    assert frames[1][1] == bytes(shown)
+    # after disposal 2 the patch rect is background color
+    after2 = bytearray(base)
+    for (px, py) in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        o = 3 * (py * w + px)
+        after2[o:o + 3] = bg
+    assert frames[2][1] == bytes(after2)
+    # frame 4 draws blue at (0,0)-(1,1) over that canvas...
+    shown4 = bytearray(after2)
+    for (px, py) in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        o = 3 * (py * w + px)
+        shown4[o:o + 3] = blue
+    assert frames[3][1] == bytes(shown4)
+    # ...and disposal 3 rolls the canvas back for the final probe
+    assert frames[4][1] == bytes(after2)

@@ -165,7 +165,19 @@ def normalize_text(col) -> Column:
 
 
 def profiles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PROFILES, "g string, lang string, w int")
+    """Profile constants as a DataFrame, built as a LITERAL array explode —
+    not ``createDataFrame(list)``, whose python-RDD scan cold-starts a
+    python worker per task just to deserialize the rows (the same pitfall
+    measured in operators/skew.py); this form stays entirely JVM-side."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("g"), F.lit(lang).alias("lang"), F.lit(w).alias("w")
+            )
+            for g, lang, w in PROFILES
+        ]
+    )
+    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
 
 
 def classify_language(

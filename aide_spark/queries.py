@@ -1092,6 +1092,51 @@ def text_quality(spark, sf_dir):
     )
 
 
+_STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "for", "on", "with"]
+
+
+@q(
+    "text_quality_full",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(len(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE)
+                      * 1000000.0 / greatest(length(text), 1)) AS BIGINT)
+             AS punct_ppm,
+           CAST(floor(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                           t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+                      * 1000000.0
+                      / greatest(len(regexp_split_to_array(text, '\\s+')), 1)) AS BIGINT)
+             AS stopword_ppm
+    FROM documents
+    """,
+)
+def text_quality_full(spark, sf_dir):
+    """Full quality-score surface (SURVEY's length/punct/stopword spec):
+    char/token counts plus punctuation and stopword ratios. Ratios surface
+    as floor-ppm BIGINTs — both engines convert the same integers to the
+    same doubles, multiply/divide in the same order, and floor has no
+    round-half tie, so the driver's value hash is exact. 100% columnar:
+    one split, one regexp_extract_all, one higher-order filter (1-arg
+    lambda, per the HOF arity trap)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    raw_toks = F.split(F.col("text"), r"\s+")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    ppm = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") * 1000000.0 / F.greatest(den, F.lit(1))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(raw_toks).cast("long").alias("n_tokens"),
+        ppm(punct, F.length("text")).alias("punct_ppm"),
+        ppm(stop, F.size(raw_toks)).alias("stopword_ppm"),
+    )
+
+
 @q(
     "text_token_count",
     """

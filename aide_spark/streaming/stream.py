@@ -118,17 +118,25 @@ def classify_balance_stream(txns_stream: DataFrame) -> DataFrame:
             if chunks
             else pd.DataFrame(columns=["account", "event_id", "balance"])
         )
-        rows = []
-        for _, r in pdf.iterrows():
-            bal = float(r["balance"])
-            change = bal - prev
-            rows.append(
-                (int(account), int(r["event_id"]), bal,
-                 "Debit" if change < 0 else "Credit")
-            )
-            prev = bal
+        import numpy as np
+
+        # vectorized lag: previous balance = state seed followed by the
+        # batch's own balances shifted one — no per-row Python (r5, same
+        # treatment as the near-dup state scan)
+        bal = pdf["balance"].to_numpy(dtype=np.float64)
+        prevs = np.concatenate(([prev], bal[:-1])) if len(bal) else bal
+        out = pd.DataFrame(
+            {
+                "account": np.full(len(bal), int(account), dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "balance": bal,
+                "txn_type": np.where(bal - prevs < 0, "Debit", "Credit"),
+            }
+        )
+        if len(bal):
+            prev = float(bal[-1])
         state.update((prev,))
-        yield pd.DataFrame(rows, columns=["account", "event_id", "balance", "txn_type"])
+        yield out
 
     return txns_stream.groupBy("account").applyInPandasWithState(
         classify,

@@ -7,11 +7,14 @@ multi-frame with GCE transparency/disposal compositing), binary PNM and
 JPEG (baseline + progressive) — the
 from-scratch codecs in :mod:`aide_spark.operators.image_codec` and
 :mod:`aide_spark.operators.jpeg_codec` (stdlib only; no image library
-needed); WAV PCM audio likewise (:mod:`.audio_codec`). Formats outside that
-envelope (video, compressed audio — which DO need native libs this
-environment lacks) fall back to :func:`_fake_decode`, a deterministic
-stand-in, and are labeled ``stub/v1`` in the ``codec`` column so
-downstream can tell. Everything
+needed). Audio is real for WAV PCM/float AND (r5) the bit-math compressed
+codecs G.711 A-law/µ-law and IMA ADPCM (:mod:`.audio_codec`); video is
+real for MJPEG and uncompressed-DIB AVI (:mod:`.video_codec` — each MJPEG
+frame runs through the from-scratch JPEG decoder, Annex-K default Huffman
+tables when frames omit DHT). Only formats that genuinely need native
+decoders this environment lacks (H.264/VP9 video, MP3/AAC perceptual
+audio) fall back to :func:`_fake_decode`, a deterministic stand-in labeled
+``stub/v1`` in the ``codec`` column so downstream can tell. Everything
 Spark-side — the schema contract, the Arrow batch shape, partition-parallel
 execution — is identical for both paths, which is what matters at 100 TB:
 decode parallelism scales with partitions, and the per-batch loop amortizes
@@ -51,9 +54,10 @@ def _fake_decode(payload: bytes) -> tuple[int, float, str]:
 
 
 def _decode(payload: bytes) -> tuple[int, float, str]:
-    """Real decode when the magic bytes say PNG/PNM/JPEG (image) or
-    RIFF/WAVE (audio); stub otherwise. feature_0 = normalized mean sample
-    value for images, mean absolute amplitude for audio."""
+    """Real decode when the magic bytes say PNG/PNM/JPEG (image), RIFF/WAVE
+    (audio incl. G.711/ADPCM) or RIFF/AVI (MJPEG / DIB video); stub
+    otherwise. feature_0 = normalized mean sample value for images (first
+    frame for video), mean absolute amplitude for audio."""
     img = decode_image(payload)
     if img is not None:
         _w, _h, _nch, px = img
@@ -61,12 +65,20 @@ def _decode(payload: bytes) -> tuple[int, float, str]:
         return 1, round(mean, 6), sniff_codec(payload)
     if bytes(payload[:4]) == b"RIFF":
         from .audio_codec import decode_wav
+        from .video_codec import decode_avi_frames, sniff_video
 
         wav = decode_wav(payload)
         if wav is not None:
             _rate, _nch, n_frames, samples = wav
             amp = sum(abs(s) for s in samples) / len(samples) if samples else 0.0
             return n_frames, round(amp, 6), "wav"
+        if sniff_video(payload):
+            vid = decode_avi_frames(payload)
+            if vid is not None:
+                _w, _h, _fps, frames = vid
+                px = frames[0][3]
+                mean = (sum(px) / len(px) / 255.0) if px else 0.0
+                return len(frames), round(mean, 6), "avi"
     return _fake_decode(payload)
 
 
@@ -150,6 +162,83 @@ def gif_frame_features(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def video_frame_features(
+    df: DataFrame, payload_col: str = "payload", stride: int = 2
+) -> DataFrame:
+    """Frame sampling over REAL video containers (MJPEG / DIB AVI, decoded
+    from scratch by :func:`video_codec.decode_avi_frames`): keep every
+    ``stride``-th frame, emit per-frame features. Same schema and Arrow
+    fan-out shape as :func:`gif_frame_features` — one input row → variable
+    feature rows inside the batch, decode parallelism = partition
+    parallelism. Undecodable payloads emit nothing (quarantine-by-absence).
+
+    At 100 TB this is the canonical video pipeline shape: the container
+    walk is sequential per payload (RIFF has no frame index requirement —
+    we ignore ``idx1``), but payloads are independent, so throughput
+    scales with executors; a 1000-executor cluster decodes 1000 AVIs
+    concurrently with zero shuffle."""
+    import pandas as pd
+
+    from .video_codec import decode_avi_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                res = decode_avi_frames(bytes(b) if b is not None else b"")
+                if res is None:
+                    continue
+                w, h, _fps, frames = res
+                for fi in range(0, len(frames), stride):
+                    fw, fh, _fc, px = frames[fi]
+                    mean = round(sum(px) / len(px) / 255.0, 6) if px else 0.0
+                    rows.append((int(doc_id), len(frames), fi, fw, fh, mean))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("mean_abs", DoubleType(), False),
+        StructField("codec", StringType(), False),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload binary) → audio features through the real WAV
+    decoder (integer/float PCM, G.711 A-law/µ-law, IMA ADPCM). ``mean_abs``
+    is the mean absolute normalized amplitude — exact arithmetic (sums of
+    k/32768 doubles), which is what lets the oracle pin it. Undecodable
+    payloads emit nothing."""
+    import pandas as pd
+
+    from .audio_codec import decode_wav, sniff_wav_fmt
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                payload = bytes(b) if b is not None else b""
+                wav = decode_wav(payload)
+                if wav is None:
+                    continue
+                rate, nch, n_frames, samples = wav
+                amp = sum(abs(s) for s in samples) / len(samples) if samples else 0.0
+                rows.append(
+                    (int(doc_id), rate, nch, n_frames, amp,
+                     sniff_wav_fmt(payload) or "pcm")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -1544,6 +1544,124 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @q(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id, n_frames, frame_idx,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           round(CAST((doc_id * 13 + frame_idx * 29) % 256 AS DOUBLE) / 255.0, 6)
+             AS mean_luma
+    FROM (
+      SELECT doc_id, n_frames,
+             CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_idx
+      FROM (
+        SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_frames
+        FROM documents WHERE doc_id < 100
+      ) f
+    ) t
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Frame sampling over REAL video: each doc gets a 2-5-frame MJPEG AVI
+    (8×8 frames, frame f constant luma ``(doc_id*13 + f*29) % 256``) built
+    by the from-scratch container+JPEG encoders, decoded by
+    ``video_codec.decode_avi_frames`` (RIFF walk → per-frame baseline JPEG
+    decode) and sampled every 2nd frame. Constant blocks on a flat quant
+    table are DCT-exact, so every sampled frame's mean luma is
+    SQL-predictable — the whole video path (container parse, MJPEG decode,
+    stride sampling, variable Arrow fan-out) under a full-strength oracle.
+    Closes the last r4 'video = stub' gap for the codecs that need no
+    native libs (MJPEG/DIB); inter-frame codecs remain the labeled stub."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.multimodal import video_frame_features
+    from .operators.video_codec import encode_avi_mjpeg
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 4
+                frames = [
+                    bytes([(int(did) * 13 + f * 29) % 256] * 64) for f in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(8, 8, frames, fps=10.0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return video_frame_features(d.mapInPandas(gen, schema=schema), stride=2)
+
+
+@q(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 5
+                                WHEN 1 THEN 505 ELSE 100 END AS BIGINT)
+             AS n_frames,
+           CASE WHEN doc_id % 3 < 2
+                THEN CAST(round(abs((doc_id % 199) - 99) * 32768.0 / 100.0)
+                          AS BIGINT) / 32768.0
+                ELSE (CAST(((((255 - doc_id % 256) & 15) << 3) + 132)
+                           << (((255 - doc_id % 256) >> 4) & 7) AS BIGINT)
+                      - 132) / 32768.0
+           END AS mean_abs,
+           CASE doc_id % 3 WHEN 0 THEN 'pcm' WHEN 1 THEN 'adpcm' ELSE 'ulaw'
+             END AS codec
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode across three codec arms round-robin on doc_id:
+    16-bit PCM, IMA ADPCM (4:1 compressed — constant signals at step index
+    0 decode EXACTLY, pinned by test_ima_adpcm_constant_signal_exact), and
+    G.711 µ-law (whose log expansion is pure bit math, re-implemented
+    ALGEBRAICALLY in the DuckDB oracle: ``t = (((u&15)<<3)+132) << ((u>>4)&7)``).
+    All three arms produce exact-arithmetic mean amplitudes (k/32768 is a
+    dyadic rational — sums and the final division are IEEE-exact), so the
+    compressed-audio decoders sit under a full-strength value oracle, not
+    a tolerance check."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.audio_codec import (
+        _ulaw_to_linear, encode_wav, encode_wav_g711, encode_wav_ima_adpcm,
+    )
+    from .operators.multimodal import decode_audio_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select("doc_id")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = ((did % 199) - 99) / 100.0
+                arm = did % 3
+                if arm == 0:
+                    payloads.append(encode_wav(8000, 1, [a] * (64 + did % 5)))
+                elif arm == 1:
+                    payloads.append(encode_wav_ima_adpcm(8000, 1, [a] * 505))
+                else:
+                    lin = _ulaw_to_linear(did % 256)
+                    payloads.append(
+                        encode_wav_g711(8000, 1, [lin / 32768.0] * 100)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return decode_audio_features(d.mapInPandas(gen, schema=schema))
+
+
+@q(
     "p13_opening_balance_scan",
     """
     SELECT c_custkey AS account,

@@ -18,7 +18,12 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+# --report-only regenerates BENCH/BASELINE.md from the logged windows
+# without running anything (use after an accidental run at a different
+# corpus size truncated the report to the wrong n_docs series)
+REPORT_ONLY = "--report-only" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_DOCS = int(_args[0]) if _args else 100_000
 # N and 4N core counts. Default 2→8: the sandbox host is shared with noisy
 # neighbors (loadavg 10-20 from outside the container), so local[32]
 # oversubscribes actual free capacity and inverts the scaling signal;
@@ -252,6 +257,14 @@ def main() -> None:
             entries = [
                 e for e in map(json.loads, fh) if e.get("n_docs") == N_DOCS
             ]
+    if REPORT_ONLY:
+        if not entries:
+            sys.exit(f"no logged windows at n_docs={N_DOCS}")
+        out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(out_path, "w") as f:
+            f.write(regenerate_report(entries))
+        print(f"report-only: windows={len(entries)} → {out_path}")
+        return
     if not entries:
         run(CORES_4N)  # warm run primes the staged corpus parquet
     import time

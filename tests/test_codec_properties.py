@@ -666,3 +666,253 @@ def test_truetype_cmap_round_trip_property(data):
     assert parse_cmap(build_minimal_font(cm)) == cm
     assert parse_cmap(build_minimal_font(cm, use_glyph_array=True)) == cm
     assert parse_cmap(build_minimal_font(cm, format12=True)) == cm
+
+
+# ---------------------------------------------------------------------------
+# AVI video container + compressed audio (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_constant_frames_exact():
+    """Constant 8x8 frames survive the MJPEG AVI round trip bit-exactly
+    (the invariant the multimodal video oracle relies on)."""
+    from aide_spark.operators.video_codec import decode_avi_frames, encode_avi_mjpeg
+
+    frames = [bytes([v] * 64) for v in (0, 17, 99, 255)]
+    avi = encode_avi_mjpeg(8, 8, frames, fps=12.0)
+    got = decode_avi_frames(avi)
+    assert got is not None
+    w, h, fps, decoded = got
+    assert (w, h) == (8, 8)
+    assert fps == 12.0
+    assert len(decoded) == 4
+    for (gw, gh, gc, gp), orig in zip(decoded, frames):
+        assert (gw, gh, gc) == (8, 8, 1)
+        assert bytes(gp) == orig
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(3, 12),
+    h=st.integers(3, 12),
+    n=st.integers(1, 4),
+    data=st.binary(min_size=1, max_size=64),
+)
+def test_avi_mjpeg_matches_bare_jpeg_decode(w, h, n, data):
+    """The container layer adds nothing: every decoded AVI frame is byte-
+    identical to decode_jpeg of the same payload."""
+    from aide_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from aide_spark.operators.video_codec import decode_avi_frames, encode_avi_mjpeg
+
+    need = w * h
+    frames = [
+        bytes((data * (need // len(data) + 1))[f:f + need]) if len(data) >= 1 else b"\x00" * need
+        for f in range(n)
+    ]
+    frames = [(fr * (need // len(fr) + 1))[:need] for fr in frames]
+    got = decode_avi_frames(encode_avi_mjpeg(w, h, frames))
+    assert got is not None
+    _, _, _, decoded = got
+    assert len(decoded) == n
+    for fr, dec in zip(frames, decoded):
+        assert dec == decode_jpeg(encode_jpeg(w, h, 1, fr))
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    n=st.integers(1, 3),
+    data=st.binary(min_size=3, max_size=48),
+)
+def test_avi_dib_round_trip_exact(w, h, n, data):
+    """Uncompressed BI_RGB frames (bottom-up BGR, 4-byte row stride) round-
+    trip exactly, including non-multiple-of-4 widths."""
+    from aide_spark.operators.video_codec import decode_avi_frames, encode_avi_dib
+
+    need = w * h * 3
+    frames = [
+        bytes(((data + bytes([f])) * (need // (len(data) + 1) + 1))[:need])
+        for f in range(n)
+    ]
+    got = decode_avi_frames(encode_avi_dib(w, h, frames))
+    assert got is not None
+    gw, gh, _, decoded = got
+    assert (gw, gh) == (w, h)
+    assert [d[3] for d in decoded] == frames
+    assert all(d[:3] == (w, h, 3) for d in decoded)
+
+
+def test_avi_rec_wrapping_and_dropped_frames():
+    """'LIST rec ' groupings and zero-length (dropped-frame) chunks are
+    real-corpus AVI shapes: rec-wrapped frames decode, empty chunks skip."""
+    from aide_spark.operators.video_codec import (
+        decode_avi_frames, encode_avi_mjpeg,
+    )
+
+    plain = encode_avi_mjpeg(8, 8, [bytes([10] * 64), bytes([20] * 64)])
+    # rewrap the movi body: first frame inside LIST rec, then an empty
+    # dropped-frame chunk, then the second frame
+    movi_at = plain.index(b"movi") - 8  # back up over 'LIST' + length
+    movi_len = int.from_bytes(plain[movi_at + 4 : movi_at + 8], "little")
+    body = plain[movi_at + 12 : movi_at + 8 + movi_len]
+    # two frame chunks, word-aligned
+    c1len = int.from_bytes(body[4:8], "little")
+    c1end = 8 + c1len + (c1len & 1)
+    c1, c2 = body[:c1end], body[c1end:]
+    rec = b"LIST" + (4 + len(c1)).to_bytes(4, "little") + b"rec " + c1
+    dropped = b"00dc" + (0).to_bytes(4, "little")
+    new_body = rec + dropped + c2
+    new_movi = b"LIST" + (4 + len(new_body)).to_bytes(4, "little") + b"movi" + new_body
+    rebuilt = plain[:movi_at] + new_movi
+    rebuilt = b"RIFF" + (len(rebuilt) - 8).to_bytes(4, "little") + rebuilt[8:]
+    got = decode_avi_frames(rebuilt)
+    assert got is not None
+    assert [f[3] for f in got[3]] == [bytes([10] * 64), bytes([20] * 64)]
+
+
+@settings(**SETTINGS)
+@given(payload=st.binary(max_size=400))
+def test_avi_decoder_never_raises_on_garbage(payload):
+    from aide_spark.operators.video_codec import decode_avi_frames
+
+    decode_avi_frames(payload)
+    decode_avi_frames(b"RIFF" + payload)
+    avi = b"RIFF" + (len(payload) + 4).to_bytes(4, "little") + b"AVI " + payload
+    decode_avi_frames(avi)
+
+
+def test_mjpeg_frame_without_dht_uses_annex_k_defaults():
+    """MJPEG-in-AVI frames routinely omit DHT (OpenDML: assume the T.81
+    Annex K typical tables). Strip the DHT segment from a JPEG re-encoded
+    with the Annex-K code table and confirm the decoder still decodes it."""
+    from aide_spark.operators import jpeg_codec as jc
+
+    # Build a DHT-less baseline JPEG for an 8x8 constant gray block by
+    # hand-coding the entropy segment with the Annex-K DC-luma table.
+    v = 130
+    dc_coef = int(round((v - 128.0) * 8 / 1))  # flat DCT of a constant block
+    q = 1
+    sof = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    dqt = b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0]) + bytes([q] * 64)
+    sos = b"\xff\xda" + (6 + 2).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy-code DC diff with K.3, then EOB with K.5
+    inv_dc = {sym: (ln, code) for (ln, code), sym in jc._default_huff("dc", 0).items()}
+    inv_ac = {sym: (ln, code) for (ln, code), sym in jc._default_huff("ac", 0).items()}
+    mag = abs(dc_coef)
+    s = mag.bit_length()
+    bits = []
+    ln, code = inv_dc[s]
+    bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+    extra = dc_coef if dc_coef >= 0 else dc_coef - 1 + (1 << s)
+    bits += [(extra >> (s - 1 - i)) & 1 for i in range(s)] if s else []
+    ln, code = inv_ac[0x00]  # EOB
+    bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    ent = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i:i + 8]:
+            byte = (byte << 1) | b
+        ent.append(byte)
+        if byte == 0xFF:
+            ent.append(0)  # byte stuffing
+    jpg = b"\xff\xd8" + dqt + sof + sos + bytes(ent) + b"\xff\xd9"
+    got = jc.decode_jpeg(jpg)
+    assert got is not None
+    w, h, c, px = got
+    assert (w, h, c) == (8, 8, 1)
+    assert set(px) == {v}
+
+
+def test_g711_codeword_round_trip_all_bytes():
+    """encode(decode(b)) == b for every µ-law and A-law codeword — the
+    tables are each other's exact inverses."""
+    from aide_spark.operators.audio_codec import (
+        _alaw_to_linear, _ulaw_to_linear, linear_to_alaw, linear_to_ulaw,
+    )
+
+    for b in range(256):
+        # µ-law codewords 0x7F and 0xFF both decode to 0 (±0); encode(0)
+        # canonically emits 0xFF, so the negative-zero byte can't round-trip
+        if b != 0x7F:
+            assert linear_to_ulaw(_ulaw_to_linear(b)) == b
+        assert linear_to_alaw(_alaw_to_linear(b)) == b
+    assert linear_to_ulaw(_ulaw_to_linear(0x7F)) == 0xFF
+
+
+@settings(**SETTINGS)
+@given(
+    frames=st.lists(st.floats(-0.99, 0.99, allow_nan=False), min_size=1, max_size=200),
+    law=st.sampled_from(["ulaw", "alaw"]),
+)
+def test_g711_wav_round_trip_bounded_error(frames, law):
+    """G.711 WAV decode: logarithmic quantization error ≤ ~3.2% full scale."""
+    from aide_spark.operators.audio_codec import decode_wav, encode_wav_g711
+
+    wav = encode_wav_g711(8000, 1, frames, law=law)
+    got = decode_wav(wav)
+    assert got is not None
+    rate, nch, n_frames, samples = got
+    assert (rate, nch, n_frames) == (8000, 1, len(frames))
+    assert max(abs(a - b) for a, b in zip(samples, frames)) < 0.032
+
+
+def test_ima_adpcm_constant_signal_exact():
+    """A constant signal at initial step index 0 decodes EXACTLY (nibble 0
+    steps are sub-LSB) — the invariant the ADPCM oracle query pins."""
+    from aide_spark.operators.audio_codec import decode_wav, encode_wav_ima_adpcm
+
+    for amp in (0.0, 0.25, -0.5, 0.875):
+        n = 505  # exactly one mono block
+        wav = encode_wav_ima_adpcm(8000, 1, [amp] * n)
+        got = decode_wav(wav)
+        assert got is not None
+        rate, nch, n_frames, samples = got
+        assert (rate, nch, n_frames) == (8000, 1, n)
+        want = round(amp * 32768.0)
+        assert all(s == want / 32768.0 for s in samples)
+
+
+def test_ima_adpcm_stereo_interleave_exact():
+    """Stereo constant channels stay on their channels through the 4-byte
+    group interleave."""
+    from aide_spark.operators.audio_codec import decode_wav, encode_wav_ima_adpcm
+
+    n = 505
+    inter = []
+    for _ in range(n):
+        inter += [0.25, -0.5]
+    wav = encode_wav_ima_adpcm(8000, 2, inter)
+    got = decode_wav(wav)
+    assert got is not None
+    _, nch, n_frames, samples = got
+    assert (nch, n_frames) == (2, n)
+    assert all(samples[2 * i] == round(0.25 * 32768) / 32768.0 for i in range(n))
+    assert all(samples[2 * i + 1] == round(-0.5 * 32768) / 32768.0 for i in range(n))
+
+
+@settings(**SETTINGS)
+@given(
+    amp=st.floats(0.05, 0.9),
+    freq=st.integers(1, 8),
+    nch=st.integers(1, 2),
+)
+def test_ima_adpcm_sine_tracks_within_tolerance(amp, freq, nch):
+    """ADPCM is lossy but a slowly-varying sine must track: RMS error well
+    under the signal amplitude (4:1 compression, adaptive step)."""
+    import math
+
+    from aide_spark.operators.audio_codec import decode_wav, encode_wav_ima_adpcm
+
+    n = 505 * 2  # two blocks
+    sig = [amp * math.sin(2 * math.pi * freq * i / n) for i in range(n)]
+    inter = [s for s in sig for _ in range(nch)]
+    got = decode_wav(encode_wav_ima_adpcm(8000, nch, inter))
+    assert got is not None
+    _, _, n_frames, samples = got
+    assert n_frames >= n
+    err = [samples[i * nch] - sig[i] for i in range(n)]
+    rms = math.sqrt(sum(e * e for e in err) / n)
+    assert rms < 0.05 * max(amp, 0.1) + 0.002

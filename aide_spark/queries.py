@@ -1312,6 +1312,26 @@ def streaming_window(spark, sf_dir):
 # tests/test_parity.py; this exercises the same operator chain on testdata.)
 # ===========================================================================
 
+_E2E_PARSE_AGG_SQL = """
+    parsed AS (
+      SELECT account, s_no,
+             regexp_extract(line, '^(\\d+)\\s+(\\d{1,2}/\\d{1,2}/\\d{4})\\s+([A-Z0-9]+)', 2) AS dt,
+             CAST(round(CAST(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)[1] AS DOUBLE) * 100) AS BIGINT)
+               * (CASE WHEN regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 2)[1] = 'Dr' THEN -1 ELSE 1 END)
+               AS amt_c,
+             CAST(round(CAST(list_last(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)) AS DOUBLE) * 100) AS BIGINT)
+               AS bal_c
+      FROM lines)
+    SELECT account,
+           arg_max(bal_c, s_no) AS opening_c,
+           arg_min(bal_c, s_no) AS closing_c,
+           CAST(coalesce(sum(CASE WHEN amt_c < 0 THEN amt_c END), 0) AS BIGINT) AS debits_c,
+           CAST(coalesce(sum(CASE WHEN amt_c > 0 THEN amt_c END), 0) AS BIGINT) AS credits_c,
+           count(*) AS n_txn,
+           min(dt) AS from_date, max(dt) AS to_date
+    FROM parsed GROUP BY account
+"""
+
 _E2E_LINES_SQL = """
       SELECT o_custkey AS account,
              concat_ws(' ',
@@ -1328,34 +1348,9 @@ _E2E_LINES_SQL = """
 """
 
 
-@q(
-    "e2e_union_extract",
-    f"""
-    WITH lines AS ({_E2E_LINES_SQL}),
-    parsed AS (
-      SELECT account, s_no,
-             regexp_extract(line, '^(\\d+)\\s+(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})\\s+([A-Z0-9]+)', 2) AS dt,
-             CAST(round(CAST(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)[1] AS DOUBLE) * 100) AS BIGINT)
-               * (CASE WHEN regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 2)[1] = 'Dr' THEN -1 ELSE 1 END)
-               AS amt_c,
-             CAST(round(CAST(list_last(regexp_extract_all(line, '(\\d+\\.?\\d*)\\s*\\((Dr|Cr)\\)', 1)) AS DOUBLE) * 100) AS BIGINT)
-               AS bal_c
-      FROM lines)
-    SELECT account,
-           arg_max(bal_c, s_no) AS opening_c,
-           arg_min(bal_c, s_no) AS closing_c,
-           CAST(coalesce(sum(CASE WHEN amt_c < 0 THEN amt_c END), 0) AS BIGINT) AS debits_c,
-           CAST(coalesce(sum(CASE WHEN amt_c > 0 THEN amt_c END), 0) AS BIGINT) AS credits_c,
-           count(*) AS n_txn,
-           min(dt) AS from_date, max(dt) AS to_date
-    FROM parsed GROUP BY account
-    """,
-)
-def e2e_union_extract(spark, sf_dir):
-    """Flagship: construct Union-grammar lines from orders, run the parse
-    expressions (P4/P6/P8), aggregate the quirky positional summary (A2/A5/A6
-    — opening = LAST listed, closing = FIRST, string date min/max)."""
-    o = _t(spark, sf_dir, "orders")
+def _union_e2e_lines(o):
+    """orders frame → (account, line, s_no) in the Union statement grammar
+    (shared by the text-path and scanned-OCR e2e queries)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     s_no = F.row_number().over(w).cast("long")
     line = F.concat_ws(
@@ -1377,10 +1372,17 @@ def e2e_union_extract(spark, sf_dir):
             F.lit(" (Cr)"),
         ),
     )
-    lines = o.select(
+    return o.select(
         F.col("o_custkey").alias("account"), line.alias("line"), s_no.alias("s_no")
     )
 
+
+def _union_summary(lines):
+    """(account, line, s_no) → the quirky positional per-account summary:
+    the parse expressions (P4/P6/P8) + aggregates (A2/A5/A6 — opening =
+    LAST listed, closing = FIRST, string date min/max). Shared by the
+    text-path and scanned-OCR e2e queries; its SQL twin is
+    ``_E2E_PARSE_AGG_SQL``."""
     amt_re = r"(\d+\.?\d*)\s*\((Dr|Cr)\)"
     vals = F.regexp_extract_all("line", F.lit(amt_re), 1)
     typs = F.regexp_extract_all("line", F.lit(amt_re), 2)
@@ -1403,6 +1405,65 @@ def e2e_union_extract(spark, sf_dir):
         F.min("dt").alias("from_date"),
         F.max("dt").alias("to_date"),
     )
+
+
+@q("e2e_union_extract", f"WITH lines AS ({_E2E_LINES_SQL}),{_E2E_PARSE_AGG_SQL}")
+def e2e_union_extract(spark, sf_dir):
+    """Flagship: construct Union-grammar lines from orders, run the parse
+    expressions (P4/P6/P8), aggregate the quirky positional summary (A2/A5/A6
+    — opening = LAST listed, closing = FIRST, string date min/max)."""
+    return _union_summary(_union_e2e_lines(_t(spark, sf_dir, "orders")))
+
+
+@q(
+    "e2e_scanned_ocr_extract",
+    f"""WITH lines AS ({_E2E_LINES_SQL} WHERE o_custkey % 10 = 0),{_E2E_PARSE_AGG_SQL}""",
+)
+def e2e_scanned_ocr_extract(spark, sf_dir):
+    """The SCANNED branch of the flagship, end-to-end real: each Union-
+    grammar line is rasterized in the 5×7 matrix font, embedded as a 1-bit
+    FlateDecode image XObject in a real PDF (a synthetic scan), then
+    recovered by the from-scratch pipeline — extract_pdf_images → ocr_gray
+    (fixed-pitch nearest-template OCR) — and fed to the SAME parser
+    expressions and aggregates as the text path. The oracle is the TEXT
+    path's SQL: it passes only if OCR recovery is byte-exact on every line.
+    1-in-10 accounts keeps the per-row Python (render + PDF round-trip)
+    proportionate at oracle scale; the operator itself is a zero-shuffle
+    mapInPandas fan-out (operators/scanned.py) that scales with partitions,
+    not rows-per-partition."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    lines = _union_e2e_lines(o)
+    schema = StructType(
+        [
+            StructField("account", LongType()),
+            StructField("line", StringType()),
+            StructField("s_no", LongType()),
+        ]
+    )
+
+    def roundtrip(it):
+        from .operators.ocr import ocr_gray
+        from .operators.scanned import render_scanned_pdf
+        from .sources.pdf_codec import extract_pdf_images
+
+        for pdf in it:
+            recovered = []
+            for ln in pdf["line"]:
+                imgs = extract_pdf_images(render_scanned_pdf([ln]))
+                got = ocr_gray(
+                    imgs[0]["width"], imgs[0]["height"], imgs[0]["pixels"]
+                ) if imgs and imgs[0]["pixels"] else []
+                recovered.append(got[0] if got else "")
+            yield pd.DataFrame(
+                {"account": pdf["account"], "line": recovered, "s_no": pdf["s_no"]}
+            )
+
+    return _union_summary(lines.mapInPandas(roundtrip, schema=schema))
 
 
 # ---------------------------------------------------------------------------
@@ -1659,6 +1720,79 @@ def multimodal_audio_decode(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return decode_audio_features(d.mapInPandas(gen, schema=schema))
+
+
+@q(
+    "pdf_image_extract",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS page, name, width, height, bits,
+           colorspace, codec, mean_luma
+    FROM (
+      SELECT doc_id, 'bitmap' AS name,
+             CAST(8 + doc_id % 5 AS INT) AS width, CAST(6 AS INT) AS height,
+             CAST(1 AS INT) AS bits, 'gray' AS colorspace, 'flate' AS codec,
+             round(CAST((doc_id % ((8 + doc_id % 5) * 6)) * 255 AS DOUBLE)
+                   / (((8 + doc_id % 5) * 6) * 255), 6) AS mean_luma
+      FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id, 'photo', CAST(16 AS INT), CAST(16 AS INT), CAST(8 AS INT),
+             'gray', 'dct', round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 6)
+      FROM documents WHERE doc_id < 150
+    ) t
+    """,
+)
+def pdf_image_extract(spark, sf_dir):
+    """Embedded-image extraction from real PDFs: each doc carries two image
+    XObjects — a 1-bit FlateDecode bitmap whose first ``doc_id % n`` pixels
+    are white (mean luma = that exact fraction) and a constant-gray
+    DCTDecode photo decoded by the from-scratch JPEG codec — pulled back
+    out by ``extract_pdf_images`` (page → /Resources → /XObject walk,
+    filter dispatch, 1-bit row expansion) and reduced to features by the
+    ``pdf_image_features`` operator. All sums are integer-exact, so the
+    oracle pins every mean. The scanned-statement ingestion surface
+    (reference: pdf_validator.py scanned classification) minus only the
+    cloud OCR, which operators/ocr.py supplies separately."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.jpeg_codec import encode_jpeg
+    from .operators.scanned import pdf_image_features
+    from .sources.pdf_codec import encode_pdf
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select("doc_id")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 5
+                n = w * 6
+                ones = did % n
+                stride = (w + 7) // 8
+                bm = bytearray(stride * 6)
+                for i in range(ones):
+                    y, x = divmod(i, w)
+                    bm[y * stride + (x >> 3)] |= 0x80 >> (x & 7)
+                jp = encode_jpeg(16, 16, 1, bytes([did % 256] * 256), quant=1)
+                payloads.append(
+                    encode_pdf(
+                        [("media", "", "bitmap", 0), ("media", "", "photo", 1)],
+                        images={
+                            "bitmap": {
+                                "width": w, "height": 6, "colorspace": "gray",
+                                "bits": 1, "filter": "flate", "data": bytes(bm),
+                            },
+                            "photo": {"width": 16, "height": 16, "filter": "dct", "data": jp},
+                        },
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return pdf_image_features(d.mapInPandas(gen, schema=schema))
 
 
 @q(

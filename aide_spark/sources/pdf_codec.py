@@ -334,6 +334,7 @@ def encode_pdf(
     cipher: str = "rc4",
     object_streams: bool = False,
     metadata: dict[str, str] | None = None,
+    images: dict[str, dict] | None = None,
 ) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
     ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
@@ -344,7 +345,16 @@ def encode_pdf(
     deterministically from the plaintext objects. With ``object_streams``,
     emits a real PDF 1.5 file: all non-stream objects packed into a
     ``/Type /ObjStm`` and a binary cross-reference STREAM (``/Type /XRef``,
-    ``/W [1 4 2]``) instead of the classic table+trailer."""
+    ``/W [1 4 2]``) instead of the classic table+trailer.
+
+    ``images`` maps a media_ref name to a REAL image payload embedded as
+    that ref's XObject instead of the 1×1 placeholder:
+    ``{"width", "height", "colorspace": "gray"|"rgb", "bits": 1|8,
+    "filter": "flate"|"dct"|"raw", "data": bytes}`` — ``data`` is raw
+    samples (row-packed MSB-first for 1-bit) for flate/raw, or a finished
+    JPEG (e.g. :func:`jpeg_codec.encode_jpeg`) for dct. This is how the
+    scanned-statement fixtures carry page scans
+    (:mod:`aide_spark.operators.ocr`)."""
     pages: list[list[tuple]] = [[]]
     media_refs: list[str] = []
     for kind, text, media_ref, _off in spans:
@@ -362,11 +372,34 @@ def encode_pdf(
     xobj_nums: dict[str, int] = {}
     next_num = 4
     for ref in dict.fromkeys(media_refs):
-        objs[next_num] = (
-            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
-            b"stream\n\x00\nendstream"
-        )
+        img = (images or {}).get(ref)
+        if img is None:
+            objs[next_num] = (
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+                b"stream\n\x00\nendstream"
+            )
+        else:
+            data = img["data"]
+            filt = img.get("filter", "flate")
+            if filt == "flate":
+                data = zlib.compress(data)
+                fdecl = b" /Filter /FlateDecode"
+            elif filt == "dct":
+                fdecl = b" /Filter /DCTDecode"
+            else:
+                fdecl = b""
+            cs = b"/DeviceRGB" if img.get("colorspace") == "rgb" else b"/DeviceGray"
+            objs[next_num] = (
+                b"<< /Type /XObject /Subtype /Image /Width "
+                + str(img["width"]).encode()
+                + b" /Height " + str(img["height"]).encode()
+                + b" /ColorSpace " + cs
+                + b" /BitsPerComponent " + str(img.get("bits", 8)).encode()
+                + fdecl
+                + b" /Length " + str(len(data)).encode() + b" >>\n"
+                b"stream\n" + data + b"\nendstream"
+            )
         xobj_nums[ref] = next_num
         next_num += 1
 
@@ -389,9 +422,13 @@ def encode_pdf(
             b"<< /Length " + str(len(content)).encode() + filt + b" >>\n"
             b"stream\n" + content + b"\nendstream"
         )
+        # only the XObjects this page actually draws: per-page resources,
+        # so per-page image enumeration (extract_pdf_images) is exact
+        page_refs = dict.fromkeys(v for k, v in page if k == "media")
         xo = b"".join(
-            b"/" + _escape_name(r).encode() + b" " + str(n).encode() + b" 0 R "
-            for r, n in xobj_nums.items()
+            b"/" + _escape_name(r).encode() + b" "
+            + str(xobj_nums[r]).encode() + b" 0 R "
+            for r in page_refs
         )
         p_num = next_num
         next_num += 1
@@ -1444,3 +1481,116 @@ def decode_pdf_metadata(
 ) -> dict[str, str] | None:
     """Raw PDF bytes → /Info map (None ⇒ quarantine)."""
     return decode_pdf_metadata_ex(payload, password)[0]
+
+
+# ---------------------------------------------------------------------------
+# embedded image XObjects: the scanned-page payload surface
+# ---------------------------------------------------------------------------
+
+_IMG_FILTERS = (
+    (b"/DCTDecode", "dct"),
+    (b"/CCITTFaxDecode", "ccitt"),
+    (b"/JBIG2Decode", "jbig2"),
+    (b"/JPXDecode", "jpx"),
+    (b"/FlateDecode", "flate"),
+)
+
+
+def _resource_subdict(body: bytes, objs: dict[int, bytes], key: bytes) -> bytes:
+    """Page dict → the flat ``/Resources → key`` sub-dict bytes (resolving
+    one level of indirection), bounded to its own ``<< … >>`` so sibling
+    resource entries can't leak refs into the scan."""
+    res = _dict_value(body, b"/Resources")
+    if res is None:
+        return b""
+    rm = _REF_RE.match(res)
+    if rm:
+        res = objs.get(int(rm.group(1)), b"")
+    sub = _dict_value(res, key)
+    if sub is None:
+        return b""
+    rm = _REF_RE.match(sub)
+    if rm:
+        sub = objs.get(int(rm.group(1)), b"")
+    start = sub.find(b"<<")
+    end = sub.find(b">>", start)
+    return sub[start + 2 : end] if 0 <= start < end else sub
+
+
+def extract_pdf_images(
+    payload: bytes, password: str | None = None
+) -> list[dict] | None:
+    """Raw PDF bytes → the embedded image XObjects, page order —
+    ``[{page, name, width, height, bits, colorspace, codec, pixels}]``.
+
+    The decode leg reuses the from-scratch codec family: ``/DCTDecode``
+    streams run through :func:`jpeg_codec.decode_jpeg`; ``/FlateDecode``
+    and unfiltered streams are raw samples (1-bit rows expanded to 8-bit).
+    ``pixels`` is 8-bit gray (or interleaved RGB for ``/DeviceRGB``),
+    sample value 0 = black — feed gray pages straight to
+    :func:`operators.ocr.ocr_gray`. Filters that genuinely need native
+    decoders (CCITT G4 fax, JBIG2, JPEG2000) return their codec label with
+    ``pixels=None`` so callers can route or quarantine. ``None`` for
+    unopenable files (same statuses as :func:`decode_pdf_bytes`)."""
+    ctx, _status = _open_pdf(payload, password)
+    if ctx is None:
+        return None
+    objs, fetch_stream = ctx["objs"], ctx["fetch_stream"]
+    page_nums = _page_numbers(objs)
+    if not page_nums:
+        return None
+    out: list[dict] = []
+    for p_i, p_num in enumerate(page_nums):
+        xdict = _resource_subdict(objs[p_num], objs, b"/XObject")
+        for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", xdict):
+            num = int(m.group(2))
+            ob = objs.get(num)
+            if ob is None or b"/Image" not in ob:
+                continue
+            sm = re.search(rb"stream\r?\n", ob)
+            head = ob[: sm.start()] if sm else ob
+            w = _int_value(head, b"/Width")
+            h = _int_value(head, b"/Height")
+            bits = _int_value(head, b"/BitsPerComponent", 8)
+            if not w or not h:
+                continue
+            cs = "rgb" if b"/DeviceRGB" in head else "gray"
+            codec = next((n for f, n in _IMG_FILTERS if f in head), "raw")
+            row = {
+                "page": p_i, "name": _unescape_name(m.group(1)),
+                "width": w, "height": h, "bits": bits,
+                "colorspace": cs, "codec": codec, "pixels": None,
+            }
+            if codec in ("ccitt", "jbig2", "jpx"):
+                out.append(row)
+                continue
+            data = fetch_stream(num)  # decrypts + inflates Flate
+            if data is None:
+                out.append(row)
+                continue
+            if codec == "dct":
+                from ..operators.jpeg_codec import decode_jpeg
+
+                dec = decode_jpeg(data)
+                if dec is not None:
+                    dw, dh, nch, px = dec
+                    row.update(
+                        width=dw, height=dh, bits=8,
+                        colorspace="rgb" if nch == 3 else "gray", pixels=px,
+                    )
+            elif bits == 1 and cs == "gray":
+                stride = (w + 7) // 8
+                if len(data) >= stride * h:
+                    px = bytearray(w * h)
+                    for y in range(h):
+                        base = y * stride
+                        for x in range(w):
+                            if data[base + (x >> 3)] & (0x80 >> (x & 7)):
+                                px[y * w + x] = 255
+                    row["pixels"] = bytes(px)
+            elif bits == 8:
+                need = w * h * (3 if cs == "rgb" else 1)
+                if len(data) >= need:
+                    row["pixels"] = bytes(data[:need])
+            out.append(row)
+    return out

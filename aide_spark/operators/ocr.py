@@ -207,20 +207,52 @@ def _fit_grid(
     ycands = sorted(
         {y for a in row_anchors for y in range(max(a - GLYPH_H + 1, 0), a + 1)}
     )
+    h = len(bits)
     best = (float("inf"), ycands[0], xcands[0])
     for y0 in ycands:
         for x0 in xcands:
+            # score = template mismatch of the band's cells PLUS stray ink
+            # in the grid's blank zones (the 1-px column between glyphs and
+            # the 2 rows below the glyph band) — a shifted grid can fluke a
+            # cheap sparse-glyph match, but it cannot hide the ink it
+            # pushes into the gaps
             total = cnt = ci = 0
             while x0 + ci * X_PITCH + GLYPH_W <= w and cnt < max_cells:
-                sig = _cell_sig(bits, w, x0 + ci * X_PITCH, y0)
-                if sig.bit_count() > 1:  # ≤1 = space/speckle, not scored
+                cx = x0 + ci * X_PITCH
+                sig = _cell_sig(bits, w, cx, y0)
+                pc = sig.bit_count()
+                if pc > 1:
                     total += min(
                         (sig ^ t).bit_count() for t, _ in _TEMPLATES
                     )
                     cnt += 1
+                else:
+                    # a space cell renders blank: a lone speckle is 1 bit of
+                    # unexplained ink, NOT free — a shifted grid must not
+                    # hide stray pixels in "speckle" cells
+                    total += pc
+                gx = cx + GLYPH_W
+                if gx < w:
+                    for r in range(GLYPH_H):
+                        if 0 <= y0 + r < h:
+                            total += (bits[y0 + r] >> (w - 1 - gx)) & 1
                 ci += 1
-            score = (total / cnt) if cnt else float("inf")
-            if score == 0.0:
+            span_mask = ((1 << (ci * X_PITCH)) - 1) << max(
+                w - x0 - ci * X_PITCH, 0
+            )
+            for r in (y0 + GLYPH_H, y0 + GLYPH_H + 1):
+                if 0 <= r < h:
+                    total += (bits[r] & span_mask).bit_count()
+            if x0:
+                # ink LEFT of the candidate origin is also unexplained — a
+                # grid must not dodge a damaged first glyph by starting at
+                # the second one
+                left_mask = ((1 << x0) - 1) << (w - x0)
+                for r in range(y0, min(y0 + GLYPH_H + 2, h)):
+                    if r >= 0:
+                        total += (bits[r] & left_mask).bit_count()
+            score = total if cnt else float("inf")
+            if score == 0:
                 return x0, y0  # earliest perfect grid wins outright
             if score < best[0]:
                 best = (score, y0, x0)

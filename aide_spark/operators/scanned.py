@@ -119,12 +119,15 @@ def ocr_scanned_lines(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(batches, schema=OCR_SCHEMA)
 
 
-def render_scanned_pdf(lines: list[str], page_size: int = 40) -> bytes:
+def render_scanned_pdf(
+    lines: list[str], page_size: int = 40, filter: str = "flate"
+) -> bytes:
     """Text lines → a real scanned-statement PDF: pages of ≤ ``page_size``
     lines rendered in the 5×7 matrix font, embedded as 1-bit
-    ``/FlateDecode`` ``/DeviceGray`` image XObjects (ink = sample 0, dark
-    text on white — scanner polarity). Test/fixture generator for the OCR
-    path; the inverse of :func:`ocr_scanned_lines`."""
+    ``/DeviceGray`` image XObjects — ``filter='flate'`` (ink = sample 0,
+    dark text on white, scanner polarity) or ``'ccitt'`` (Group 4 fax via
+    the from-scratch T.6 coder, ink = G4 black). Test/fixture generator
+    for the OCR path; the inverse of :func:`ocr_scanned_lines`."""
     from ..sources.pdf_codec import encode_pdf
     from .ocr import render_page
 
@@ -139,7 +142,9 @@ def render_scanned_pdf(lines: list[str], page_size: int = 40) -> bytes:
         w, h, bm = render_page(lines[p_i : p_i + page_size])
         images[name] = {
             "width": w, "height": h, "colorspace": "gray", "bits": 1,
-            "filter": "flate", "data": bytes(x ^ 0xFF for x in bm),
+            "filter": filter,
+            # G4 codes ink directly; 1-bit samples are inverse polarity
+            "data": bm if filter == "ccitt" else bytes(x ^ 0xFF for x in bm),
         }
         spans.append(("media", "", name, len(spans)))
     return encode_pdf(spans, images=images)

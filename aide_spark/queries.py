@@ -1730,7 +1730,8 @@ def multimodal_audio_decode(spark, sf_dir):
     FROM (
       SELECT doc_id, 'bitmap' AS name,
              CAST(8 + doc_id % 5 AS INT) AS width, CAST(6 AS INT) AS height,
-             CAST(1 AS INT) AS bits, 'gray' AS colorspace, 'flate' AS codec,
+             CAST(1 AS INT) AS bits, 'gray' AS colorspace,
+             CASE WHEN doc_id % 2 = 0 THEN 'ccitt' ELSE 'flate' END AS codec,
              round(CAST((doc_id % ((8 + doc_id % 5) * 6)) * 255 AS DOUBLE)
                    / (((8 + doc_id % 5) * 6) * 255), 6) AS mean_luma
       FROM documents WHERE doc_id < 150
@@ -1778,14 +1779,21 @@ def pdf_image_extract(spark, sf_dir):
                     y, x = divmod(i, w)
                     bm[y * stride + (x >> 3)] |= 0x80 >> (x & 7)
                 jp = encode_jpeg(16, 16, 1, bytes([did % 256] * 256), quant=1)
+                # even docs: Group 4 fax filter — G4 carries INK (black), the
+                # inverse of the 1-bit sample convention (1 = white), so the
+                # same luma needs the inverted bitmap
+                bitmap = (
+                    {"width": w, "height": 6, "colorspace": "gray", "bits": 1,
+                     "filter": "ccitt", "data": bytes(x ^ 0xFF for x in bm)}
+                    if did % 2 == 0
+                    else {"width": w, "height": 6, "colorspace": "gray",
+                          "bits": 1, "filter": "flate", "data": bytes(bm)}
+                )
                 payloads.append(
                     encode_pdf(
                         [("media", "", "bitmap", 0), ("media", "", "photo", 1)],
                         images={
-                            "bitmap": {
-                                "width": w, "height": 6, "colorspace": "gray",
-                                "bits": 1, "filter": "flate", "data": bytes(bm),
-                            },
+                            "bitmap": bitmap,
                             "photo": {"width": 16, "height": 16, "filter": "dct", "data": jp},
                         },
                     )

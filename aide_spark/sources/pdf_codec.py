@@ -387,6 +387,19 @@ def encode_pdf(
                 fdecl = b" /Filter /FlateDecode"
             elif filt == "dct":
                 fdecl = b" /Filter /DCTDecode"
+            elif filt == "ccitt":
+                # data is the raw 1-bit bitmap (1 = ink); compress with the
+                # from-scratch Group 4 coder. /BlackIs1 true keeps the
+                # decoded 1-bits meaning black, matching the input.
+                from ..operators.ccitt_codec import encode_g4
+
+                data = encode_g4(img["width"], img["height"], data)
+                fdecl = (
+                    b" /Filter /CCITTFaxDecode /DecodeParms << /K -1"
+                    b" /Columns " + str(img["width"]).encode()
+                    + b" /Rows " + str(img["height"]).encode()
+                    + b" /BlackIs1 true >>"
+                )
             else:
                 fdecl = b""
             cs = b"/DeviceRGB" if img.get("colorspace") == "rgb" else b"/DeviceGray"
@@ -1517,6 +1530,27 @@ def _resource_subdict(body: bytes, objs: dict[int, bytes], key: bytes) -> bytes:
     return sub[start + 2 : end] if 0 <= start < end else sub
 
 
+def decode_g4_to_gray(data: bytes, w: int, h: int) -> bytes | None:
+    """CCITTFaxDecode (K<0, Group 4) stream → 8-bit gray pixels, black=0.
+    /BlackIs1 only flips which BIT value carries black in the decoded
+    sample data; the T.6 black/white RUNS are unambiguous, and this goes
+    straight from runs to gray, so the flag never changes the image."""
+    from ..operators.ccitt_codec import decode_g4
+
+    bm = decode_g4(data, w, h)
+    if bm is None:
+        return None
+    stride = (w + 7) // 8
+    px = bytearray(w * h)
+    for y in range(h):
+        base = y * stride
+        for x in range(w):
+            px[y * w + x] = (
+                0 if bm[base + (x >> 3)] & (0x80 >> (x & 7)) else 255
+            )
+    return bytes(px)
+
+
 def extract_pdf_images(
     payload: bytes, password: str | None = None
 ) -> list[dict] | None:
@@ -1561,6 +1595,17 @@ def extract_pdf_images(
                 "width": w, "height": h, "bits": bits,
                 "colorspace": cs, "codec": codec, "pixels": None,
             }
+            if codec == "ccitt" and _int_value(head, b"/K", 0) < 0:
+                # Group 4 (T.6) — decoded from scratch (ccitt_codec); K≥0
+                # (G3 1D/mixed) stays labeled-undecoded below
+                data = fetch_stream(num)
+                g4 = (
+                    decode_g4_to_gray(data, w, h) if data is not None else None
+                )
+                if g4 is not None:
+                    row["pixels"] = g4
+                out.append(row)
+                continue
             if codec in ("ccitt", "jbig2", "jpx"):
                 out.append(row)
                 continue

@@ -916,3 +916,67 @@ def test_ima_adpcm_sine_tracks_within_tolerance(amp, freq, nch):
     err = [samples[i * nch] - sig[i] for i in range(n)]
     rms = math.sqrt(sum(e * e for e in err) / n)
     assert rms < 0.05 * max(amp, 0.1) + 0.002
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (T.6) fax codec
+# ---------------------------------------------------------------------------
+
+
+def test_g4_tables_prefix_free():
+    """The transcribed T.4 run-length tables must be prefix-free per color
+    (with make-ups and extended make-ups merged) — a mis-transcribed code
+    would shadow another and break decode."""
+    from aide_spark.operators.ccitt_codec import RUN_TABLES
+
+    for term, makeup in RUN_TABLES:
+        codes = [format(c, f"0{b}b") for b, c in (*term.values(), *makeup.values())]
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a), (a, b)
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(1, 70),
+    h=st.integers(1, 12),
+    data=st.binary(min_size=1, max_size=120),
+)
+def test_g4_round_trip_exact(w, h, data):
+    from aide_spark.operators.ccitt_codec import decode_g4, encode_g4
+
+    stride = (w + 7) // 8
+    need = stride * h
+    bm = bytes((data * (need // len(data) + 1))[:need])
+    # mask row padding bits (outside the width) to a canonical 0
+    mask = ((1 << w) - 1) << (stride * 8 - w)
+    bm = b"".join(
+        (int.from_bytes(bm[y * stride : (y + 1) * stride], "big") & mask)
+        .to_bytes(stride, "big")
+        for y in range(h)
+    )
+    assert decode_g4(encode_g4(w, h, bm), w, h) == bm
+
+
+def test_g4_long_runs_use_makeups():
+    """A 2600-pixel run exercises the extended make-up codes (>1728)."""
+    from aide_spark.operators.ccitt_codec import decode_g4, encode_g4
+
+    w, h = 2800, 2
+    stride = (w + 7) // 8
+    bm = bytearray(stride * h)
+    for x in range(100, 2700):
+        bm[stride + (x >> 3)] |= 0x80 >> (x & 7)
+    enc = encode_g4(w, h, bytes(bm))
+    assert decode_g4(enc, w, h) == bytes(bm)
+    assert len(enc) < 40  # 2D coding collapses constant lines
+
+
+@settings(**SETTINGS)
+@given(payload=st.binary(max_size=200))
+def test_g4_decoder_never_raises_on_garbage(payload):
+    from aide_spark.operators.ccitt_codec import decode_g4
+
+    decode_g4(payload, 64, 8)
+    decode_g4(payload, 1, 1)

@@ -68,14 +68,15 @@ _form_txt = st.text(alphabet=_FORM_CHARSET, min_size=1, max_size=30).map(
 def test_ocr_recovers_under_self_calibrated_noise(text, seed):
     """Flip up to floor((d_min-1)/2) bits inside every glyph cell, where
     d_min is the distance from the text's glyphs to their nearest neighbor
-    in the WHOLE font (the recognizer matches against every template) —
-    nearest-template matching must still recover the exact text. Space
-    cells rely on the ≤1-ink speckle rejection."""
+    among ALL templates INCLUDING blank (space) — a space cell and '.'
+    are only popcount('.') apart, so texts containing spaces calibrate to
+    k=1. Nearest-template matching must then recover the exact text."""
+    targets = list(GLYPH_SIG.values()) + [0]  # 0 = blank (space cell)
     d_min = min(
-        (GLYPH_SIG[c] ^ sig).bit_count()
-        for c in set(text) - {" "}
-        for ch, sig in GLYPH_SIG.items()
-        if ch != c
+        (GLYPH_SIG.get(c, 0) ^ t).bit_count()
+        for c in set(text)
+        for t in targets
+        if t != GLYPH_SIG.get(c, 0)
     )
     k = (d_min - 1) // 2
     w, h, bm = render_page([text])
@@ -185,6 +186,18 @@ def test_extract_pdf_images_encrypted():
     im = extract_pdf_images(pdf, "pw")[0]
     assert im["pixels"] == data
     assert extract_pdf_images(pdf, "wrong") is None
+
+
+def test_scanned_fax_g4_round_trip():
+    """The Group 4 fax variant of the scan: render → T.6-compress →
+    /CCITTFaxDecode XObject → extract (from-scratch G4 decode) → OCR."""
+    from aide_spark.operators.scanned import render_scanned_pdf
+    from aide_spark.sources.pdf_codec import extract_pdf_images
+
+    lines = ["FAX 1 99/99/9999 TXN0 123.45 (Dr)", "Name RAVI KUMAR"]
+    imgs = extract_pdf_images(render_scanned_pdf(lines, filter="ccitt"))
+    assert imgs[0]["codec"] == "ccitt" and imgs[0]["pixels"] is not None
+    assert ocr_gray(imgs[0]["width"], imgs[0]["height"], imgs[0]["pixels"]) == lines
 
 
 def test_scanned_path_matches_text_path_on_bank_grammar():

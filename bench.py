@@ -40,7 +40,10 @@ HEADLINE = [
     "text_lang_id_ngram",
     "multimodal_decode_real",
     "multimodal_frame_sample",
+    "multimodal_video_frames",
+    "pdf_image_extract",
     "e2e_union_extract",
+    "e2e_scanned_ocr_extract",
 ]
 
 

@@ -1917,3 +1917,168 @@ def ann_ivf_topk(spark, sf_dir):  # tests-only: NOT registered in QUERIES
     return ivf_search(
         assigned.where("vec_id != 0"), centroids, list(query), nprobe=4, topk=10
     )
+
+
+# ===========================================================================
+# HTML main-content extraction (north-rule leg: boilerplate strip + DOM
+# heuristics). Synthetic pages are built deterministically from the
+# documents table, so the WHOLE path — from-scratch tokenizer, link-density
+# features, boilerpipe NumWordsRules windows, span assembly — sits under an
+# exact DuckDB oracle that reconstructs the same blocks from the same rules.
+# ===========================================================================
+
+_NAV_WORDS = ("home", "about", "contact", "careers")
+
+
+def _build_html_page(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic page: nav furniture, headline, one body
+    paragraph (the document text), an in-flow figure, a link-dense tag row,
+    a short trailing note, aside + footer furniture. Every block's word
+    count and link density is reconstructible in SQL from (doc_id, text)."""
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    nav = "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in _NAV_WORDS[: 2 + doc_id % 3]
+    )
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>doc {doc_id}</title><style>p{{margin:0}}</style>"
+        "<script>if(1<2){document.x='<p>not a block</p>';}</script></head><body>"
+        f"<header><nav><ul>{nav}</ul></nav></header>"
+        "<!-- main content -->"
+        f'<div class="content"><h1>report {doc_id}</h1>'
+        f"<p>{esc}</p>"
+        f'<img src="media/img{doc_id}.png" alt="figure">'
+        '<p class="tags"><a href="/t/a">alpha</a> <a href="/t/b">beta</a> '
+        '<a href="/t/c">gamma</a></p>'
+        f"<p>appendix note {doc_id} item {doc_id % 7}</p></div>"
+        '<aside><p><a href="/r/1">related</a> <a href="/r/2">links</a></p></aside>'
+        "<footer><p>copyright &copy; 2026 example &amp; sons &middot; "
+        '<a href="/privacy">privacy</a></p></footer></body></html>'
+    ).encode()
+
+
+def _html_pages(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload html bytes), Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _build_html_page(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return d.mapInPandas(gen, schema=schema)
+
+
+# Oracle CTEs: rebuild the page's text blocks (same order, words, anchors)
+# straight from the documents table, then apply the IDENTICAL published
+# rule constants with plain lag/lead windows.
+_HTML_BLOCKS_SQL = """
+    docs AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+             2 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 120),
+    nav(i, w) AS (SELECT * FROM (VALUES (0,'home'),(1,'about'),(2,'contact'),
+                                 (3,'careers')) v(i, w)),
+    blocks AS (
+      SELECT d.doc_id, CAST(n.i AS BIGINT) AS block_idx, n.w AS text,
+             CAST(1 AS BIGINT) AS n_words, CAST(1 AS BIGINT) AS n_anchor,
+             TRUE AS skip
+      FROM docs d JOIN nav n ON n.i < d.k
+      UNION ALL SELECT doc_id, k, 'report ' || doc_id, 2, 0, FALSE FROM docs
+      UNION ALL SELECT doc_id, k+1, t, len(string_split(t, ' ')), 0, FALSE
+        FROM docs
+      UNION ALL SELECT doc_id, k+3, 'alpha beta gamma', 3, 3, FALSE FROM docs
+      UNION ALL SELECT doc_id, k+4,
+        'appendix note ' || doc_id || ' item ' || (doc_id % 7), 5, 0, FALSE
+        FROM docs
+      UNION ALL SELECT doc_id, k+5, 'related links', 2, 2, TRUE FROM docs
+      UNION ALL SELECT doc_id, k+6,
+        'copyright © 2026 example & sons · privacy', 8, 1, TRUE FROM docs),
+    feat AS (
+      SELECT doc_id, block_idx, text, n_words,
+             round(n_anchor / n_words, 6) AS link_density,
+             coalesce(lag(n_words) OVER w, 0) AS prev_nw,
+             coalesce(lead(n_words) OVER w, 0) AS next_nw,
+             coalesce(lag(round(n_anchor / n_words, 6)) OVER w, 0.0) AS prev_ld,
+             skip
+      FROM blocks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
+    labeled AS (
+      SELECT *,
+             (NOT skip) AND link_density <= 0.33 AND
+             (CASE WHEN prev_ld <= 0.555
+                   THEN n_words > 16 OR next_nw > 15 OR prev_nw > 4
+                   ELSE n_words > 40 OR next_nw > 17 END) AS is_content
+      FROM feat)
+"""
+
+
+@q(
+    "html_block_classify",
+    f"""
+    WITH {_HTML_BLOCKS_SQL}
+    SELECT doc_id, block_idx, text, n_words, link_density, is_content
+    FROM labeled
+    """,
+)
+def html_block_classify(spark, sf_dir):
+    """HTML boilerplate classification, block level: build each doc's page,
+    tokenize it (sources/html_codec.py, Arrow-batched), then label every
+    text block with the boilerpipe NumWordsRules decision tree — link
+    density + prev/next word counts via IGNORE-NULLS window frames, plus
+    the nav/aside/footer/header DOM heuristic — entirely in Spark SQL
+    expressions (operators/boilerplate.py). One hash(doc_id) exchange."""
+    from .operators.boilerplate import classify_blocks, segment_html
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    labeled = classify_blocks(segment_html(_html_pages(d.select("doc_id", "text"))))
+    return labeled.where(F.col("kind") == "text").select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "text",
+        F.col("n_words").cast("long").alias("n_words"),
+        "link_density",
+        "is_content",
+    )
+
+
+@q(
+    "html_main_content",
+    f"""
+    WITH {_HTML_BLOCKS_SQL},
+    kept AS (
+      SELECT doc_id, block_idx, 'text' AS kind, text, '' AS media_ref
+      FROM labeled WHERE is_content
+      UNION ALL
+      SELECT doc_id, k + 2, 'media', '', 'media/img' || doc_id || '.png'
+      FROM docs)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY block_idx) - 1
+                AS BIGINT) AS "offset",
+           kind, text, media_ref
+    FROM kept
+    """,
+)
+def html_main_content(spark, sf_dir):
+    """HTML main-content extraction end-to-end: boilerplate stripped, body
+    text + in-flow media emitted as ordered interleaved spans
+    (doc_id, offset, kind, text, media_ref) — the north rule's span schema
+    over the HTML leg. The row_number reuses the classifier's exchange
+    (filter preserves sort), so the whole path is tokenize -> ONE shuffle
+    -> spans."""
+    from .operators.boilerplate import main_content_spans, segment_html
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return main_content_spans(segment_html(_html_pages(d.select("doc_id", "text"))))

@@ -1,0 +1,197 @@
+"""HTML tokenizer + boilerplate classifier tests (north-rule HTML leg).
+
+The cross-engine oracle for the full path lives in test_oracle_queries
+(html_block_classify / html_main_content); these tests pin the parser's
+edge behavior and each branch of the NumWordsRules decision tree directly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aide_spark.sources.html_codec import decode_entities, tokenize_blocks
+
+
+def texts(page):
+    return [b["text"] for b in tokenize_blocks(page) if b["kind"] == "text"]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_entities():
+    assert decode_entities("a &amp; b &lt;c&gt; &#65;&#x42; &copy; &unknown; &") == (
+        "a & b <c> AB © &unknown; &"
+    )
+
+
+def test_rawtext_and_comments_discarded():
+    page = (
+        b"<head><title>t</title><style>p{}</style>"
+        b"<script>var s='<p>fake</p>'; if(1<2){}</script></head>"
+        b"<body><!-- note --><p>real</p></body>"
+    )
+    assert texts(page) == ["real"]
+
+
+def test_literal_lt_is_text():
+    assert texts(b"<p>1 < 2 and x <3</p>") == ["1 < 2 and x <3"]
+
+
+def test_block_boundaries_and_implicit_close():
+    assert texts(b"<p>a<p>b</p><div>c</div>") == ["a", "b", "c"]
+    assert texts(b"<ul><li>one<li>two</ul>") == ["one", "two"]
+
+
+def test_whitespace_normalized():
+    assert texts(b"<p>  a\n\t b  c </p>") == ["a b c"]
+
+
+def test_anchor_word_counting():
+    (b,) = tokenize_blocks(b'<p>x <a href="/">one two</a> y</p>')
+    assert (b["n_words"], b["n_anchor_words"]) == (4, 2)
+    (b,) = tokenize_blocks(b'<p><a>all</a> <a>linked</a></p>')
+    assert (b["n_words"], b["n_anchor_words"]) == (2, 2)
+
+
+def test_nested_anchor_depth():
+    (b,) = tokenize_blocks(b"<p><a>out <span>in</span></a> tail</p>")
+    assert (b["n_words"], b["n_anchor_words"]) == (3, 2)
+
+
+def test_skip_ancestor_flag():
+    bs = tokenize_blocks(b"<nav><p>menu</p></nav><p>body</p><footer>foot</footer>")
+    assert [(b["text"], b["skip_ancestor"]) for b in bs] == [
+        ("menu", True), ("body", False), ("foot", True),
+    ]
+
+
+def test_img_media_row_and_quoted_gt():
+    bs = tokenize_blocks(b'<p>a<img src="i.png" alt="x>y">b</p>')
+    assert [b["kind"] for b in bs] == ["text", "media", "text"]
+    assert bs[1]["media_ref"] == "i.png"
+    bs = tokenize_blocks(b"<img src='q.png'><img src=bare.png>")
+    assert [b["media_ref"] for b in bs] == ["q.png", "bare.png"]
+
+
+def test_malformed_never_raises():
+    for page in (b"<p>tail<", b"<p attr='unclosed", b"</nope></p>", b"", b"<>",
+                  b"\xff\xfe<p>bad utf8 \x80</p>"):
+        tokenize_blocks(page)  # must not raise
+
+
+def test_br_is_inline_space():
+    assert texts(b"<p>a<br>b</p>") == ["a b"]
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(WORDS, st.booleans()), min_size=1, max_size=6), st.randoms())
+def test_roundtrip_property(paras, rnd):
+    """Serialize known paragraphs (optionally anchor-wrapped, with random
+    entity-escaped ampersands and noise comments) -> tokenize -> same texts
+    and anchor word counts."""
+    parts, want = [], []
+    for words, anchored in paras:
+        body = " ".join(words)
+        inner = f'<a href="/x">{body}</a>' if anchored else body
+        parts.append(f"<p>{inner}</p>")
+        if rnd.random() < 0.3:
+            parts.append("<!-- c -->")
+        want.append((body, len(words) if anchored else 0))
+    page = ("<body>" + "".join(parts) + "</body>").encode()
+    got = [
+        (b["text"], b["n_anchor_words"])
+        for b in tokenize_blocks(page)
+        if b["kind"] == "text"
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# classifier rule branches (columnar, on Spark)
+# ---------------------------------------------------------------------------
+
+
+def _classify(spark, page: bytes):
+    from aide_spark.operators.boilerplate import classify_blocks, segment_html
+
+    pages = spark.createDataFrame([(0, bytearray(page))], "doc_id long, payload binary")
+    rows = (
+        classify_blocks(segment_html(pages))
+        .orderBy("block_idx")
+        .select("text", "kind", "is_content")
+        .collect()
+    )
+    return [(r.text if r.kind == "text" else "<media>", r.is_content) for r in rows]
+
+
+def test_rules_low_ld_branch(spark):
+    # prev_ld=0 branch: long block content; short block content only via
+    # neighbor word counts (next>15 / prev>4)
+    long = " ".join(f"w{i}" for i in range(20))
+    page = f"<p>{long}</p><p>short tail</p>".encode()
+    got = _classify(spark, page)
+    assert got == [(long, True), ("short tail", True)]  # prev_nw 20 > 4
+    page = b"<p>one</p><p>two</p>"
+    assert [c for _, c in _classify(spark, page)] == [False, False]
+
+
+def test_rules_high_ld_branch(spark):
+    # after a link-dense block (prev_ld > 0.555): need curr>40 or next>17
+    nxt = " ".join(f"n{i}" for i in range(18))
+    page = f'<p><a>l1</a> <a>l2</a></p><p>headline here</p><p>{nxt}</p>'.encode()
+    got = _classify(spark, page)
+    assert got[0][1] is False            # link-dense: ld 1 > 0.33
+    assert got[1][1] is True             # next_nw 18 > 17
+    assert got[2][1] is True
+    page = b"<p><a>l1</a> <a>l2</a></p><p>headline here</p><p>five little words here</p>"
+    got = _classify(spark, page)
+    assert got[1][1] is False            # next_nw 4 <= 17, curr 2 <= 40
+
+
+def test_dom_heuristic_overrides_density(spark):
+    long = " ".join(f"w{i}" for i in range(30))
+    page = f"<footer><p>{long}</p></footer><p>{long}</p>".encode()
+    got = _classify(spark, page)
+    assert got[0] == (long, False)       # skip ancestor wins despite length
+    assert got[1] == (long, True)
+
+
+def test_media_transparent_to_text_chain(spark):
+    """An <img> between two paragraphs must not break prev/next features."""
+    long = " ".join(f"w{i}" for i in range(20))
+    with_img = f'<p>{long}</p><img src="a.png"><p>short tail</p>'.encode()
+    without = f"<p>{long}</p><p>short tail</p>".encode()
+    a = [(t, c) for t, c in _classify(spark, with_img) if t != "<media>"]
+    assert a == _classify(spark, without)
+    # and the in-flow media row itself is content / footer media is not
+    got = _classify(spark, with_img)
+    assert ("<media>", True) in got
+    got = _classify(spark, b'<footer><img src="badge.png"></footer>')
+    assert got == [("<media>", False)]
+
+
+def test_spans_offsets_dense_and_ordered(spark):
+    from aide_spark.operators.boilerplate import main_content_spans, segment_html
+
+    long1 = " ".join(f"a{i}" for i in range(20))
+    long2 = " ".join(f"b{i}" for i in range(20))
+    page = (
+        f'<nav><a>x</a></nav><p>{long1}</p><img src="f.png"><p>{long2}</p>'
+    ).encode()
+    pages = spark.createDataFrame([(7, bytearray(page))], "doc_id long, payload binary")
+    rows = main_content_spans(segment_html(pages)).orderBy("offset").collect()
+    assert [(r.offset, r.kind) for r in rows] == [(0, "text"), (1, "media"), (2, "text")]
+    assert rows[1].media_ref == "f.png"
+    assert [r.text for r in rows] == [long1, "", long2]

@@ -135,6 +135,39 @@ def classify_blocks(blocks: DataFrame) -> DataFrame:
     return out.withColumn("is_content", is_content).drop("_tw")
 
 
+def label_blocks_py(blocks: list[dict]) -> list[bool]:
+    """Pure-Python twin of :func:`classify_blocks` for the per-document
+    paths (mixed-format ingest, streaming) — same published constants, same
+    media-transparent text chain. Batch/local agreement is property-pinned
+    by tests/test_html.py::test_py_twin_matches_columnar, the engine's
+    standard twin contract (cf. the P10 streaming classifier)."""
+    text_blocks = [b for b in blocks if b["kind"] == "text"]
+    lds = [
+        round(b["n_anchor_words"] / b["n_words"], 6) if b["n_words"] else 0.0
+        for b in text_blocks
+    ]
+    labels: dict[int, bool] = {}
+    for i, b in enumerate(text_blocks):
+        prev_nw = text_blocks[i - 1]["n_words"] if i else 0
+        next_nw = text_blocks[i + 1]["n_words"] if i + 1 < len(text_blocks) else 0
+        prev_ld = lds[i - 1] if i else 0.0
+        if prev_ld <= PREV_LINK_DENSITY:
+            dense = (
+                b["n_words"] > CURR_WORDS_LO
+                or next_nw > NEXT_WORDS_LO
+                or prev_nw > PREV_WORDS_LO
+            )
+        else:
+            dense = b["n_words"] > CURR_WORDS_HI or next_nw > NEXT_WORDS_HI
+        labels[id(b)] = (
+            not b["skip_ancestor"] and lds[i] <= MAX_LINK_DENSITY and dense
+        )
+    return [
+        labels[id(b)] if b["kind"] == "text" else not b["skip_ancestor"]
+        for b in blocks
+    ]
+
+
 def main_content_spans(blocks: DataFrame) -> DataFrame:
     """Classified blocks -> interleaved spans (doc_id, offset, kind, text,
     media_ref), offset = 0-based ordinal among kept spans per doc."""

@@ -317,7 +317,9 @@ def decode_g4(data: bytes, width: int, height: int | None = None) -> bytes | Non
                 a0 = b2
             elif mode[0] == "v":
                 a1 = b1 + mode[1]
-                if not 0 <= a1 <= width:
+                # transitions must be non-decreasing: a garbage stream can
+                # step a1 BELOW the last transition (negative run length)
+                if not max(0, cur[-1] if cur else 0) <= a1 <= width:
                     return None
                 cur.append(a1)
                 a0 = a1

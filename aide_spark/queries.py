@@ -2082,3 +2082,320 @@ def html_main_content(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return main_content_spans(segment_html(_html_pages(d.select("doc_id", "text"))))
+
+
+# ===========================================================================
+# PDF layout reconstruction (north-star leg: bbox reading order +
+# table/figure region detection). Fixtures are positioned PDFs built
+# deterministically from the documents table — emission order interleaves
+# the columns, so stream-order extraction CANNOT pass: only the layout
+# operator's reordering matches the oracle.
+# ===========================================================================
+
+
+def _layout_pdf_pages(d: DataFrame, builder) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload positioned-PDF bytes)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        from .sources.pdf_codec import encode_pdf
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_pdf([], positioned_pages=builder(int(i), t))
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return d.mapInPandas(gen, schema=schema)
+
+
+def _two_column_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """Two-column Manhattan layout: 4-word lines, first half in the left
+    column (x=72), rest at x=340, 16pt leading from y=720 — EMITTED in
+    row-interleaved order (left r, right r, left r+1, ...) so the content
+    stream order is NOT the reading order."""
+    ws = " ".join(text.split()).split(" ")
+    lines = [" ".join(ws[4 * i : 4 * i + 4]) for i in range((len(ws) + 3) // 4)]
+    lc = (len(lines) + 1) // 2
+    page = []
+    for r in range(lc):
+        page.append(("text", 72, 720 - 16 * r, lines[r]))
+        if lc + r < len(lines):
+            page.append(("text", 340, 720 - 16 * r, lines[lc + r]))
+    return [page]
+
+
+@q(
+    "pdf_reading_order",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents WHERE doc_id < 100),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               0, CAST(ceil(len(ws) / 4.0) AS INT) - 1)) AS i
+      FROM docs)
+    SELECT doc_id, CAST(i AS BIGINT) AS reading_idx,
+           array_to_string(ws[4*i+1 : 4*i+4], ' ') AS text
+    FROM idx
+    """,
+)
+def pdf_reading_order(spark, sf_dir):
+    """Bbox reading order over two-column pages: positioned-run decode
+    (text-matrix tracker, Tm/Td/T* all exercised by the fixture encoder),
+    projection-profile column detection (bin explode + distinct + lag —
+    the set-at-a-time XY-cut), then row_number over (column, -y, x).
+    The fixture emits runs row-interleaved across columns, so the oracle
+    (original line order) passes ONLY if the reordering is correct."""
+    from .operators.layout import positioned_runs, reading_order
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(_layout_pdf_pages(d.select("doc_id", "text"), _two_column_page))
+    return (
+        reading_order(runs)
+        .where(F.col("kind") == "text")
+        .select("doc_id", "reading_idx", "text")
+    )
+
+
+def _table_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """Title + intro line, then a (3 + doc_id%4)-row × 4-column table on
+    the x-grid [72,180,288,396] from y=688 down, then a closing line."""
+    n_rows = 3 + doc_id % 4
+    page = [
+        ("text", 72, 720, f"Statement {doc_id}"),
+        ("text", 72, 704, "intro line one"),
+    ]
+    for r in range(n_rows):
+        for c, x in enumerate((72, 180, 288, 396)):
+            page.append(("text", x, 688 - 16 * r, f"r{r}c{c}"))
+    page.append(("text", 72, 688 - 16 * n_rows, "closing remarks here"))
+    return [page]
+
+
+@q(
+    "pdf_table_detect",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS page, CAST(0 AS BIGINT) AS region_id,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS n_cols,
+           CAST(688 AS DOUBLE) AS y_top,
+           CAST(688 - 16 * (2 + doc_id % 4) AS DOUBLE) AS y_bottom
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def pdf_table_detect(spark, sf_dir):
+    """Table region detection: lines = runs grouped on snapped y carrying
+    their sorted x-origin grids; a line is tabular when ≥3 aligned origins
+    repeat on an adjacent line (array_intersect vs lag/lead); consecutive
+    tabular lines merge via rank-difference islands. Title/intro/closing
+    single-run lines must NOT match; the oracle pins exact region extent
+    and shape per document."""
+    from .operators.layout import positioned_runs, table_regions
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(_layout_pdf_pages(d.select("doc_id", "text"), _table_page))
+    return table_regions(runs)
+
+
+def _figure_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """Two figures with caption lines below each, body text between —
+    pairing must hop the body text and never cross to the next figure."""
+    return [
+        [
+            ("text", 72, 700, "lead paragraph words here"),
+            ("media", 100, 600, "figA"),
+            ("text", 72, 584, f"Figure 1 overview {doc_id}"),
+            ("text", 72, 500, "body words between figures"),
+            ("media", 100, 400, "figB"),
+            ("text", 72, 384, f"Figure 2 detail {doc_id}"),
+            ("text", 72, 300, "trailing paragraph text"),
+        ]
+    ]
+
+
+@q(
+    "pdf_figure_captions",
+    """
+    SELECT doc_id, 'figA' AS media_ref,
+           'Figure 1 overview ' || doc_id AS caption
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, 'figB', 'Figure 2 detail ' || doc_id
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def pdf_figure_captions(spark, sf_dir):
+    """Figure region pairing: media runs (positioned via their cm matrix)
+    pick the nearest caption-shaped text line below on the same page with
+    one IGNORE-NULLS window — body text between figure and caption is
+    hopped, and pairing never crosses the next figure (its caption sits
+    above that figure's own)."""
+    from .operators.layout import figure_captions, positioned_runs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(_layout_pdf_pages(d.select("doc_id", "text"), _figure_page))
+    return figure_captions(runs).select("doc_id", "media_ref", "caption")
+
+
+@q(
+    "e2e_mixed_ingest",
+    """
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 120),
+    f AS (SELECT doc_id, t, len(string_split(t, ' ')) AS nw, doc_id % 3 AS m
+          FROM d)
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'container' WHEN 1 THEN 'pdf' ELSE 'html' END
+             AS fmt,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 2
+                ELSE CASE WHEN nw > 17 THEN 3 WHEN nw = 17 THEN 2 ELSE 1 END
+                END AS BIGINT) AS n_spans,
+           CAST(CASE m WHEN 2 THEN 1 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_media,
+           CASE m WHEN 0 THEN 'statement ' || doc_id
+                  WHEN 1 THEN 'statement ' || doc_id
+                  ELSE CASE WHEN nw > 17 THEN 'report ' || doc_id
+                            WHEN nw = 17 THEN t ELSE '' END END AS head_text
+    FROM f
+    """,
+)
+def e2e_mixed_ingest(spark, sf_dir):
+    """The north rule's input shape end-to-end: ONE raw-payload table with
+    PDFs, HTML pages and framed text containers (half of them gzipped)
+    interleaved, ingested by a single Arrow-batched pass
+    (binary_ingest.ingest_mixed) that magic-byte-dispatches each doc to its
+    from-scratch decoder — PDF codec, HTML tokenizer + NumWordsRules
+    boilerplate strip (pure-Python twin of the columnar classifier),
+    gzip-transparent container framing — into the unified interleaved span
+    schema. The oracle pins per-doc span counts, media counts and the head
+    span text for every format, including the HTML rule-dependent cases."""
+    import gzip as _gzip
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .sources.binary_ingest import ingest_mixed
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def gen(it):
+        from .sources.binary_ingest import encode_spans
+        from .sources.pdf_codec import encode_pdf
+
+        for pdf in it:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 == 0:
+                    raw = encode_spans(
+                        [
+                            ("text", f"statement {did}", "", 0),
+                            ("text", t, "", 1),
+                            ("media", "", f"img{did}", 2),
+                        ]
+                    )
+                    payloads.append(_gzip.compress(raw) if did % 2 == 0 else raw)
+                elif did % 3 == 1:
+                    payloads.append(
+                        encode_pdf(
+                            [
+                                ("text", f"statement {did}", "", 0),
+                                ("text", t, "", 1),
+                            ]
+                        )
+                    )
+                else:
+                    payloads.append(_build_html_page(did, t))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    mixed = ingest_mixed(d.select("doc_id", "text").mapInPandas(gen, schema=schema))
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fmt",
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(
+            F.size(F.filter("spans", lambda s: s["kind"] == "media")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_media"),
+        F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("head_text"),
+    )
+
+
+def _banded_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """Title (full-width spanner), two columns, full-width footer — the
+    composition the FLAT projection profile cannot split (the title
+    bridges the inter-column gap); only the banded XY-cut reads it right.
+    Emission order: columns interleaved, then footer, then title LAST."""
+    page = _two_column_page(doc_id, text)[0]
+    page.append(
+        ("text", 72, 80,
+         f"generated by the example corporation extraction pipeline copy {doc_id}")
+    )
+    page.append(
+        ("text", 72, 760,
+         f"Annual consolidated statement report {doc_id} for archival use")
+    )
+    return [page]
+
+
+@q(
+    "pdf_reading_order_banded",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents WHERE doc_id < 100),
+    idx AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               0, CAST(ceil(len(ws) / 4.0) AS INT) - 1)) AS i
+      FROM docs)
+    SELECT doc_id, CAST(i + 1 AS BIGINT) AS reading_idx,
+           array_to_string(ws[4*i+1 : 4*i+4], ' ') AS text
+    FROM idx
+    UNION ALL
+    SELECT doc_id, 0,
+           'Annual consolidated statement report ' || doc_id
+             || ' for archival use'
+    FROM docs
+    UNION ALL
+    SELECT doc_id, CAST(ceil(len(ws) / 4.0) AS BIGINT) + 1,
+           'generated by the example corporation extraction pipeline copy '
+             || doc_id
+    FROM docs
+    """,
+)
+def pdf_reading_order_banded(spark, sf_dir):
+    """One-level recursive XY-cut (layout.reading_order_banded): the
+    full-width title and footer are horizontal cuts isolating the
+    two-column body into its own band, where the projection profile then
+    finds the gap the title was bridging. Expected order: title, left
+    column top-down, right column, footer — from a content stream that
+    emits the title LAST."""
+    from .operators.layout import positioned_runs, reading_order_banded
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(_layout_pdf_pages(d.select("doc_id", "text"), _banded_page))
+    return (
+        reading_order_banded(runs)
+        .where(F.col("kind") == "text")
+        .select("doc_id", "reading_idx", "text")
+    )

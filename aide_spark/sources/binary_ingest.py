@@ -173,6 +173,94 @@ def ingest_binary_pdf(
     return df.mapInPandas(batches, schema=schema)
 
 
+def decode_html(payload: bytes) -> list[dict] | None:
+    """Raw HTML bytes → main-content spans (boilerplate stripped): the
+    from-scratch tokenizer (html_codec) + the pure-Python NumWordsRules twin
+    (operators/boilerplate.label_blocks_py).  Offsets are re-densified over
+    kept blocks, matching operators/boilerplate.main_content_spans exactly.
+    None only for non-bytes input (the tokenizer itself never raises)."""
+    from ..operators.boilerplate import label_blocks_py
+    from .html_codec import tokenize_blocks
+
+    if not isinstance(payload, (bytes, bytearray)):
+        return None
+    blocks = tokenize_blocks(bytes(payload))
+    keep = label_blocks_py(blocks)
+    spans = []
+    for b, k in zip(blocks, keep):
+        if k:
+            spans.append(
+                {
+                    "kind": b["kind"], "text": b["text"],
+                    "media_ref": b["media_ref"], "offset": len(spans),
+                }
+            )
+    return spans
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-bytes dispatch for the mixed web-crawl table:
+    ``pdf`` | ``html`` | ``container`` (utf-8 text / span framing, incl.
+    gzip — decode_container is gzip-transparent).  The HTML sniff checks
+    the first 256 bytes case-insensitively for a doctype or root tag (the
+    WHATWG sniffing rule, trimmed)."""
+    if not isinstance(payload, (bytes, bytearray)):
+        return "container"
+    head = bytes(payload[:256])
+    if head[:4] == b"%PDF":
+        return "pdf"
+    low = head.lower()
+    if low.lstrip()[:14] == b"<!doctype html" or b"<html" in low:
+        return "html"
+    return "container"
+
+
+_MIXED_DECODERS: dict[str, Callable[[bytes], list | None]] = {
+    "pdf": decode_pdf,
+    "html": decode_html,
+    "container": decode_container,
+}
+
+MIXED_DECODED = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("spans", ArrayType(SPAN), True),
+    ]
+)
+
+
+def ingest_mixed(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "content"
+) -> DataFrame:
+    """One pass over a MIXED raw-payload table — PDFs, HTML pages, framed
+    text containers (plain or gzipped) interleaved in the same column —
+    dispatching each document by magic bytes to its from-scratch decoder
+    and emitting the unified interleaved span schema plus the detected
+    ``fmt``.  The north rule's input shape: one Arrow-batched operator, one
+    output table, quarantine-by-null for undecodable rows of ANY format.
+    Scale shape identical to :func:`ingest_binary` (zero shuffle; decode
+    parallelism = partition parallelism)."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fmts, spans = [], []
+            for b in pdf[payload_col]:
+                f = sniff_format(b)
+                fmts.append(f)
+                spans.append(_MIXED_DECODERS[f](b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "fmt": fmts,
+                    "spans": spans,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MIXED_DECODED)
+
+
 def ingest_binary(
     df: DataFrame,
     decoder: Callable[[bytes], list | None] = decode_container,

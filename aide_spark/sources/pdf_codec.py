@@ -335,6 +335,7 @@ def encode_pdf(
     object_streams: bool = False,
     metadata: dict[str, str] | None = None,
     images: dict[str, dict] | None = None,
+    positioned_pages: list[list[tuple]] | None = None,
 ) -> bytes:
     """Canonical spans → a valid minimal PDF. ``spans`` rows are
     ``(kind, text, media_ref, offset)``; PAGE_BREAK text spans split pages.
@@ -357,14 +358,22 @@ def encode_pdf(
     (:mod:`aide_spark.operators.ocr`)."""
     pages: list[list[tuple]] = [[]]
     media_refs: list[str] = []
-    for kind, text, media_ref, _off in spans:
-        if kind == "text" and text == PAGE_BREAK:
-            pages.append([])
-        elif kind == "media":
-            pages[-1].append(("media", media_ref))
-            media_refs.append(media_ref)
-        else:
-            pages[-1].append(("text", text))
+    if positioned_pages is not None:
+        # layout-fixture mode: each page row is ("text", x, y, string) or
+        # ("media", x, y, ref) drawn at that device position (font size 10;
+        # the op encoding cycles Td / Tm / TL+T* per run so the positioned
+        # decoder's whole text-matrix state machine is exercised)
+        pages = [list(p) for p in positioned_pages] or [[]]
+        media_refs = [r[3] for p in pages for r in p if r[0] == "media"]
+    else:
+        for kind, text, media_ref, _off in spans:
+            if kind == "text" and text == PAGE_BREAK:
+                pages.append([])
+            elif kind == "media":
+                pages[-1].append(("media", media_ref))
+                media_refs.append(media_ref)
+            else:
+                pages[-1].append(("text", text))
 
     objs: dict[int, bytes] = {}
     font_num = 3
@@ -416,14 +425,44 @@ def encode_pdf(
         xobj_nums[ref] = next_num
         next_num += 1
 
+    def _n(v: float) -> bytes:  # PDF numeric literal, no trailing .0 noise
+        return format(v, "g").encode()
+
     page_nums: list[int] = []
     for page in pages:
-        ops = [b"BT /F1 12 Tf 72 720 Td ET"]
-        for kind, val in page:
-            if kind == "text":
-                ops.append(b"BT (" + _escape_string(val) + b") Tj ET")
-            else:
-                ops.append(b"/" + _escape_name(val).encode() + b" Do")
+        if positioned_pages is not None:
+            ops = []
+            for i, (kind, x, y, val) in enumerate(page):
+                if kind == "media":
+                    ops.append(
+                        b"q 1 0 0 1 " + _n(x) + b" " + _n(y) + b" cm /"
+                        + _escape_name(val).encode() + b" Do Q"
+                    )
+                    continue
+                s = b"(" + _escape_string(val) + b") Tj"
+                if i % 3 == 0:
+                    ops.append(
+                        b"BT /F1 10 Tf " + _n(x) + b" " + _n(y) + b" Td " + s + b" ET"
+                    )
+                elif i % 3 == 1:
+                    ops.append(
+                        b"BT /F1 10 Tf 1 0 0 1 " + _n(x) + b" " + _n(y) + b" Tm "
+                        + s + b" ET"
+                    )
+                else:  # land on y via a 16pt leading advance from y+16
+                    ops.append(
+                        b"BT /F1 10 Tf " + _n(x) + b" " + _n(y + 16) + b" Td "
+                        b"16 TL T* " + s + b" ET"
+                    )
+            page_refs = dict.fromkeys(r[3] for r in page if r[0] == "media")
+        else:
+            ops = [b"BT /F1 12 Tf 72 720 Td ET"]
+            for kind, val in page:
+                if kind == "text":
+                    ops.append(b"BT (" + _escape_string(val) + b") Tj ET")
+                else:
+                    ops.append(b"/" + _escape_name(val).encode() + b" Do")
+            page_refs = dict.fromkeys(v for k, v in page if k == "media")
         content = b"\n".join(ops)
         filt = b""
         if compress:
@@ -435,9 +474,8 @@ def encode_pdf(
             b"<< /Length " + str(len(content)).encode() + filt + b" >>\n"
             b"stream\n" + content + b"\nendstream"
         )
-        # only the XObjects this page actually draws: per-page resources,
-        # so per-page image enumeration (extract_pdf_images) is exact
-        page_refs = dict.fromkeys(v for k, v in page if k == "media")
+        # only the XObjects this page actually draws (page_refs, set above):
+        # per-page resources, so per-page image enumeration is exact
         xo = b"".join(
             b"/" + _escape_name(r).encode() + b" "
             + str(xobj_nums[r]).encode() + b" 0 R "
@@ -1282,6 +1320,170 @@ def _page_fonts(body: bytes, objs: dict[int, bytes], fetch_stream) -> dict[bytes
     return out
 
 
+def _page_streams(body: bytes, objs: dict, fetch_stream) -> list[bytes] | None:
+    """Resolve a page's /Contents (single ref or array) to decoded stream
+    bytes; None ⇒ a referenced stream is structurally broken (CORRUPTED)."""
+    contents_raw = _dict_value(body, b"/Contents")
+    streams: list[bytes] = []
+    if contents_raw is not None:
+        if contents_raw.lstrip().startswith(b"["):
+            arr = contents_raw[contents_raw.find(b"[") + 1 : contents_raw.find(b"]")]
+            for m in re.finditer(rb"(\d+)\s+\d+\s+R", arr):
+                if int(m.group(1)) in objs:
+                    s = fetch_stream(int(m.group(1)))
+                    if s is None:
+                        return None
+                    streams.append(s)
+        else:
+            rm = _REF_RE.match(contents_raw)
+            if rm and int(rm.group(1)) in objs:
+                s = fetch_stream(int(rm.group(1)))
+                if s is None:
+                    return None
+                streams.append(s)
+    return streams
+
+
+def _mat_mul(m1: tuple, m2: tuple) -> tuple:
+    """2D affine product m1×m2, PDF row-vector convention ([a b c d e f] ⇔
+    [[a b 0],[c d 0],[e f 1]]; spec 8.3.4)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    )
+
+
+_ID_MAT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def extract_positioned_runs(payload: bytes, password: str | None = None) -> list[dict]:
+    """Raw PDF bytes → positioned text/media runs for layout reconstruction.
+
+    Tracks the full text-positioning state machine of spec 9.4 — ``BT``
+    resets, ``Tm`` sets the matrix, ``Td``/``TD`` translate the line matrix,
+    ``TL``+``T*``/``'``/``"`` advance by the leading — plus the graphics
+    CTM (``cm`` with ``q``/``Q`` nesting) so image ``Do`` placements carry
+    their device position too.  Each text-showing op emits one run at its
+    matrix origin:
+
+        {page, x, y, size (Tf font size for text / CTM x-scale for media),
+         kind 'text'|'media', text, media_ref}
+
+    Glyph-advance tracking is intentionally out of scope: block-level layout
+    (reading order, table alignment — operators/layout.py) needs line
+    ORIGINS, not intra-run cursor positions, and the downstream width
+    estimate is an explicit heuristic there.  The reference delegates all of
+    this to pdfplumber's char bboxes (api/ extractors); this is the
+    from-scratch equivalent at run granularity.  Quarantine contract:
+    undecodable documents return [] (never raise)."""
+    ctx, _status = _open_pdf(payload, password)
+    if ctx is None:
+        return []
+    objs, fetch_stream = ctx["objs"], ctx["fetch_stream"]
+    page_nums = _page_numbers(objs)
+    if not page_nums:
+        return []
+
+    runs: list[dict] = []
+    for p_i, p_num in enumerate(page_nums):
+        body = objs[p_num]
+        streams = _page_streams(body, objs, fetch_stream)
+        if streams is None:
+            continue
+        fonts = _page_fonts(body, objs, fetch_stream)
+        cur_font: tuple | None = None
+        size = 0.0
+        tm = tlm = _ID_MAT
+        tl = 0.0
+        ctm = _ID_MAT
+        gstack: list[tuple] = []
+        nums: list[float] = []
+        last_str: bytes = b""
+        last_arr: list[bytes] = []
+        last_name: bytes = b""
+
+        def dec(b: bytes) -> str:
+            if cur_font is not None:
+                return _cmap_text(b, cur_font[0], cur_font[1])
+            return _pdf_text(b)
+
+        def td(tx: float, ty: float) -> None:
+            nonlocal tm, tlm
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+            tm = tlm
+
+        def show(text: str) -> None:
+            if not text:
+                return
+            m = _mat_mul(tm, ctm)
+            runs.append(
+                {
+                    "page": p_i, "x": round(m[4], 4), "y": round(m[5], 4),
+                    "size": size, "kind": "text", "text": text, "media_ref": "",
+                }
+            )
+
+        for data in streams:
+            for kind, val in _tokenize_content(data):
+                if kind == "str":
+                    last_str = val
+                elif kind == "arr":
+                    last_arr = val
+                elif kind == "name":
+                    last_name = val
+                else:
+                    try:
+                        nums.append(float(val))
+                        continue  # numeric operand: keep accumulating
+                    except ValueError:
+                        pass
+                    op = val
+                    if op == b"BT":
+                        tm = tlm = _ID_MAT
+                    elif op == b"Tm" and len(nums) >= 6:
+                        tm = tlm = tuple(nums[-6:])
+                    elif op == b"Td" and len(nums) >= 2:
+                        td(nums[-2], nums[-1])
+                    elif op == b"TD" and len(nums) >= 2:
+                        tl = -nums[-1]
+                        td(nums[-2], nums[-1])
+                    elif op == b"TL" and nums:
+                        tl = nums[-1]
+                    elif op == b"T*":
+                        td(0.0, -tl)
+                    elif op == b"Tf":
+                        cur_font = fonts.get(last_name)
+                        if nums:
+                            size = nums[-1]
+                    elif op == b"Tj":
+                        show(dec(last_str))
+                    elif op in (b"'", b'"'):
+                        td(0.0, -tl)
+                        show(dec(last_str))
+                    elif op == b"TJ":
+                        show("".join(dec(x) for x in last_arr))
+                    elif op == b"cm" and len(nums) >= 6:
+                        ctm = _mat_mul(tuple(nums[-6:]), ctm)
+                    elif op == b"q":
+                        gstack.append(ctm)
+                    elif op == b"Q":
+                        ctm = gstack.pop() if gstack else _ID_MAT
+                    elif op == b"Do" and last_name:
+                        runs.append(
+                            {
+                                "page": p_i, "x": round(ctm[4], 4),
+                                "y": round(ctm[5], 4), "size": abs(ctm[0]),
+                                "kind": "media", "text": "",
+                                "media_ref": _unescape_name(last_name),
+                            }
+                        )
+                    nums.clear()
+    return runs
+
+
 def _extract_spans(ctx: dict) -> tuple[list[dict] | None, str]:
     """Opened-document context → (canonical span dicts | None, status)."""
     objs, fetch_stream = ctx["objs"], ctx["fetch_stream"]
@@ -1301,24 +1503,9 @@ def _extract_spans(ctx: dict) -> tuple[list[dict] | None, str]:
         if p_i:
             emit("text", PAGE_BREAK)
         body = objs[p_num]
-        contents_raw = _dict_value(body, b"/Contents")
-        streams: list[bytes] = []
-        if contents_raw is not None:
-            if contents_raw.lstrip().startswith(b"["):
-                arr = contents_raw[contents_raw.find(b"[") + 1 : contents_raw.find(b"]")]
-                for m in re.finditer(rb"(\d+)\s+\d+\s+R", arr):
-                    if int(m.group(1)) in objs:
-                        s = fetch_stream(int(m.group(1)))
-                        if s is None:
-                            return None, "CORRUPTED"
-                        streams.append(s)
-            else:
-                rm = _REF_RE.match(contents_raw)
-                if rm and int(rm.group(1)) in objs:
-                    s = fetch_stream(int(rm.group(1)))
-                    if s is None:
-                        return None, "CORRUPTED"
-                    streams.append(s)
+        streams = _page_streams(body, objs, fetch_stream)
+        if streams is None:
+            return None, "CORRUPTED"
 
         buf: list[str] = []
         pending = False

@@ -42,6 +42,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_video_frames",
     "pdf_image_extract",
+    "html_main_content",
+    "pdf_reading_order",
     "e2e_union_extract",
     "e2e_scanned_ocr_extract",
 ]

@@ -195,3 +195,74 @@ def test_spans_offsets_dense_and_ordered(spark):
     assert [(r.offset, r.kind) for r in rows] == [(0, "text"), (1, "media"), (2, "text")]
     assert rows[1].media_ref == "f.png"
     assert [r.text for r in rows] == [long1, "", long2]
+
+
+# ---------------------------------------------------------------------------
+# mixed-format ingest: python twin + magic sniff
+# ---------------------------------------------------------------------------
+
+
+def test_py_twin_matches_columnar(spark):
+    """label_blocks_py (per-doc path) must agree with classify_blocks
+    (columnar path) on randomized block sequences — the twin contract."""
+    import random
+
+    from aide_spark.operators.boilerplate import (
+        BLOCK_SCHEMA, classify_blocks, label_blocks_py,
+    )
+
+    rnd = random.Random(42)
+    docs = {}
+    rows = []
+    for doc in range(40):
+        blocks = []
+        for i in range(rnd.randint(1, 12)):
+            if rnd.random() < 0.2:
+                b = {"block_idx": i, "kind": "media", "text": "",
+                     "n_words": 0, "n_anchor_words": 0,
+                     "skip_ancestor": rnd.random() < 0.3, "media_ref": "m"}
+            else:
+                nw = rnd.randint(1, 50)
+                b = {"block_idx": i, "kind": "text", "text": "t",
+                     "n_words": nw, "n_anchor_words": rnd.randint(0, nw),
+                     "skip_ancestor": rnd.random() < 0.3, "media_ref": ""}
+            blocks.append(b)
+            rows.append((doc, i, b["kind"], b["text"], b["n_words"],
+                         b["n_anchor_words"], b["skip_ancestor"], b["media_ref"]))
+        docs[doc] = blocks
+    df = spark.createDataFrame(rows, BLOCK_SCHEMA)  # doc_id is field 0
+    got = {
+        (r.doc_id, r.block_idx): r.is_content
+        for r in classify_blocks(df).collect()
+    }
+    for doc, blocks in docs.items():
+        want = label_blocks_py(blocks)
+        for b, w in zip(blocks, want):
+            assert got[(doc, b["block_idx"])] == w, (doc, b)
+
+
+def test_sniff_format():
+    from aide_spark.sources.binary_ingest import sniff_format
+
+    assert sniff_format(b"%PDF-1.4 ...") == "pdf"
+    assert sniff_format(b"<!DOCTYPE html><html>...") == "html"
+    assert sniff_format(b"  <!doctype HTML>") == "html"
+    assert sniff_format(b"<HTML><body>x</body>") == "html"
+    assert sniff_format(b"plain text lines") == "container"
+    assert sniff_format(b"\x1f\x8b\x08gzip...") == "container"
+    assert sniff_format(None) == "container"
+
+
+def test_decode_html_strips_boilerplate():
+    from aide_spark.sources.binary_ingest import decode_html
+
+    # 45 words: after the link-dense nav (prev_ld 1 > 0.555) a block is
+    # content only via curr > 40 — the short footer next can't rescue it
+    long = " ".join(f"w{i}" for i in range(45))
+    page = (
+        f'<nav><a href="/">home</a></nav><p>{long}</p>'
+        f'<img src="f.png"><footer>copyright</footer>'
+    ).encode()
+    spans = decode_html(page)
+    assert [(s["kind"], s["offset"]) for s in spans] == [("text", 0), ("media", 1)]
+    assert spans[0]["text"] == long and spans[1]["media_ref"] == "f.png"

@@ -89,6 +89,41 @@ def segment_html(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, schema=BLOCK_SCHEMA)
 
 
+LINK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("link_idx", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor_text", StringType()),
+    ]
+)
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> outlink table (LINK_SCHEMA): the
+    web-graph primitive over the same from-scratch scanner rules as
+    ``segment_html`` (html_codec.extract_links).  Arrow-batched, zero
+    shuffle — link extraction parallelism is scan parallelism, and the
+    downstream graph aggregations (outdegree, host joins) are plain
+    groupBy/joins on the emitted table."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ..sources.html_codec import extract_links
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for li in extract_links(bytes(payload)):
+                    rows.append(
+                        (int(did), li["link_idx"], li["href"], li["anchor_text"])
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in LINK_SCHEMA.fields])
+
+    return pages.mapInPandas(run, schema=LINK_SCHEMA)
+
+
 def classify_blocks(blocks: DataFrame) -> DataFrame:
     """Add link_density / prev-next features / is_content, fully columnar.
 

@@ -224,21 +224,16 @@ def reading_order_banded(
     )
 
 
-def table_regions(
+def _tabular_lines(
     runs: DataFrame, min_cols: int = 3, y_grid: float = 1.0
 ) -> DataFrame:
-    """Detect tabular regions: per (doc, page) —
-
-    1. line = runs sharing a y (snapped to ``y_grid``); each line carries
-       its sorted x-origin grid and text assembled left-to-right;
-    2. a line is tabular when it has ≥ ``min_cols`` origins and shares ≥
-       ``min_cols`` of them with the previous OR next line (array_intersect
-       on lag/lead — alignment must repeat to be a table, one wide line is
-       not);
-    3. consecutive tabular lines merge via rank-difference islands.
-
-    Returns one row per region: (doc_id, page, region_id within page,
-    n_rows, n_cols = max aligned origins, y_top, y_bottom)."""
+    """Shared front half of table detection: snap runs into lines (rounded
+    y), flag a line tabular when it has ≥ ``min_cols`` x-origins and shares
+    ≥ ``min_cols`` of them with the previous OR next line (array_intersect
+    on lag/lead — alignment must repeat to be a table, one wide line is
+    not), then merge consecutive tabular lines into islands via the
+    rank-difference trick.  Returns one row per TABULAR line:
+    (doc_id, page, yl, xs, y, line_text, grp)."""
     lines = (
         runs.where(F.col("kind") == "text")
         .groupBy(
@@ -258,23 +253,42 @@ def table_regions(
     )
     w = Window.partitionBy("doc_id", "page").orderBy(F.col("yl").desc())
     empty = F.array().cast("array<double>")
-    shared_prev = F.size(
-        F.array_intersect("xs", F.coalesce(F.lag("xs").over(w), empty))
+    prev_xs = F.coalesce(F.lag("xs").over(w), empty)
+    next_xs = F.coalesce(F.lead("xs").over(w), empty)
+    shared_prev = F.size(F.array_intersect("xs", prev_xs))
+    shared_next = F.size(F.array_intersect("xs", next_xs))
+    core = (F.size("xs") >= min_cols) & (
+        (shared_prev >= min_cols) | (shared_next >= min_cols)
     )
-    shared_next = F.size(
-        F.array_intersect("xs", F.coalesce(F.lead("xs").over(w), empty))
+    # a short line (missing cells) still belongs when EVERY origin it has
+    # aligns with an adjacent full-width line — a 2-origin row inside a
+    # 4-column table attaches; a free paragraph line (1 origin, or origins
+    # off the grid) does not
+    attach = (F.size("xs") >= 2) & (
+        ((shared_prev == F.size("xs")) & (F.size(prev_xs) >= min_cols))
+        | ((shared_next == F.size("xs")) & (F.size(next_xs) >= min_cols))
     )
-    flagged = lines.withColumn(
-        "is_tab",
-        (F.size("xs") >= min_cols)
-        & ((shared_prev >= min_cols) | (shared_next >= min_cols)),
-    )
+    flagged = lines.withColumn("is_tab", core | attach)
     # gaps-and-islands: consecutive tabular lines share (rn_all - rn_tab)
     rn_all = F.row_number().over(w)
     rn_tab = F.row_number().over(
         Window.partitionBy("doc_id", "page", "is_tab").orderBy(F.col("yl").desc())
     )
-    grouped = flagged.withColumn("grp", rn_all - rn_tab).where(F.col("is_tab"))
+    return (
+        flagged.withColumn("grp", rn_all - rn_tab)
+        .where(F.col("is_tab"))
+        .drop("is_tab")
+    )
+
+
+def table_regions(
+    runs: DataFrame, min_cols: int = 3, y_grid: float = 1.0
+) -> DataFrame:
+    """Detect tabular regions (see :func:`_tabular_lines` for the method).
+
+    Returns one row per region: (doc_id, page, region_id within page,
+    n_rows, n_cols = max aligned origins, y_top, y_bottom)."""
+    grouped = _tabular_lines(runs, min_cols, y_grid)
     regions = grouped.groupBy("doc_id", "page", "grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.max(F.size("xs")).cast("long").alias("n_cols"),
@@ -290,6 +304,109 @@ def table_regions(
         "n_cols",
         "y_top",
         "y_bottom",
+    )
+
+
+def table_cells(
+    runs: DataFrame,
+    min_cols: int = 3,
+    y_grid: float = 1.0,
+    x_tol: float = 0.05,
+    x_cluster: float = 10.0,
+) -> DataFrame:
+    """Structured cell extraction: region detection (:func:`_tabular_lines`)
+    followed by cell assignment —
+
+    1. each region's COLUMN GRID is the sorted distinct union of its lines'
+       x-origins (so a row with a missing cell still lands its survivors in
+       the right columns — positional rank within the line would not),
+       with origins closer than ``x_cluster`` merged into one column (a
+       wrapped or slightly-indented run keeps its cell);
+    2. row index = dense_rank of the line's snapped y, top-down within the
+       region;
+    3. every run on a tabular line joins back by (doc, page, yl) and takes
+       ``col`` = count of grid origins ≤ x + ``x_tol``, minus 1;
+    4. runs sharing a cell (wrapped text) concatenate left-to-right.
+
+    Returns (doc_id, page, region_id, row, col, cell_text) — region_id
+    numbered top-down per page exactly as :func:`table_regions`, so cells
+    join to regions on (doc_id, page, region_id).
+
+    Scale shape: the lines aggregate, the grid aggregate and the runs
+    join all hash on (doc_id, page[, yl]) — no new wide shuffle; the grid
+    array is per-region-tiny (n_cols) so the HOF count is O(n_cols)."""
+    tab = _tabular_lines(runs, min_cols, y_grid)
+    wg = Window.partitionBy("doc_id", "page", "grp")
+    tab = tab.withColumn(
+        "row", (F.dense_rank().over(wg.orderBy(F.col("yl").desc())) - 1).cast("long")
+    )
+    origins = F.sort_array(F.array_distinct(F.flatten(F.collect_list("xs"))))
+    # cluster fold: keep an origin only when it sits > x_cluster right of
+    # the last kept one (arrays are n_cols-tiny; the fold is O(n_cols))
+    grid = F.aggregate(
+        origins,
+        F.array().cast("array<double>"),
+        lambda acc, o: F.when(
+            (F.size(acc) == 0) | (o - F.element_at(acc, -1) > F.lit(x_cluster)),
+            F.concat(acc, F.array(o)),
+        ).otherwise(acc),
+    )
+    grids = tab.groupBy("doc_id", "page", "grp").agg(
+        grid.alias("grid"),
+        F.max("y").alias("y_top"),
+    )
+    # region_id: top-down rank of the region within its page (== table_regions)
+    wr = Window.partitionBy("doc_id", "page").orderBy(F.col("y_top").desc())
+    grids = grids.withColumn(
+        "region_id", (F.row_number().over(wr) - 1).cast("long")
+    )
+    cells = (
+        runs.where(F.col("kind") == "text")
+        .withColumn("yl", F.round(F.col("y") / y_grid).cast("long"))
+        .join(
+            tab.select("doc_id", "page", "yl", "grp", "row"),
+            ["doc_id", "page", "yl"],
+        )
+        .join(grids.select("doc_id", "page", "grp", "region_id", "grid"),
+              ["doc_id", "page", "grp"])
+        .withColumn(
+            "col",
+            (
+                F.size(F.filter("grid", lambda g: g <= F.col("x") + F.lit(x_tol)))
+                - 1
+            ).cast("long"),
+        )
+    )
+    return (
+        cells.groupBy("doc_id", "page", "region_id", "row", "col")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("x", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("cell_text")
+        )
+    )
+
+
+def layout_spans(runs: DataFrame, bin_w: float = 12.0, min_gap_bins: int = 2) -> DataFrame:
+    """Reading-ordered runs → the engine's canonical interleaved span
+    schema (doc_id, offset, kind, text, media_ref): the north rule's
+    per-row invariant (span-sequence equality over kind, text, media_ref,
+    order) emitted from the LAYOUT path — pages concatenate in page order,
+    text and media interleave at their reading positions, offset is the
+    0-based ordinal per doc (cf. boilerplate.main_content_spans, the HTML
+    twin of this emission)."""
+    ordered = reading_order(runs, bin_w, min_gap_bins)
+    w = Window.partitionBy("doc_id").orderBy("page", "reading_idx")
+    return ordered.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        "kind",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
     )
 
 

@@ -2399,3 +2399,152 @@ def pdf_reading_order_banded(spark, sf_dir):
         .where(F.col("kind") == "text")
         .select("doc_id", "reading_idx", "text")
     )
+
+
+def _table_missing_cell_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """The :func:`_table_page` grid with one cell KNOCKED OUT per document
+    (row (doc_id % n_rows), column (doc_id % 4) — skipped when that row
+    would drop under two origins): cell extraction must keep the
+    survivors in their grid columns, which positional rank cannot do."""
+    n_rows = 3 + doc_id % 4
+    miss_r, miss_c = doc_id % n_rows, doc_id % 4
+    page = [
+        ("text", 72, 720, f"Statement {doc_id}"),
+        ("text", 72, 704, "intro line one"),
+    ]
+    for r in range(n_rows):
+        for c, x in enumerate((72, 180, 288, 396)):
+            if r == miss_r and c == miss_c:
+                continue
+            page.append(("text", x, 688 - 16 * r, f"r{r}c{c}"))
+    page.append(("text", 72, 688 - 16 * n_rows, "closing remarks here"))
+    return [page]
+
+
+@q(
+    "pdf_table_extract",
+    """
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 4 AS n_rows,
+             doc_id % (3 + doc_id % 4) AS miss_r, doc_id % 4 AS miss_c
+      FROM documents WHERE doc_id < 100),
+    cells AS (
+      SELECT doc_id, miss_r, miss_c,
+             unnest(generate_series(0, n_rows - 1)) AS r
+      FROM docs),
+    grid AS (
+      SELECT doc_id, miss_r, miss_c, r, unnest([0, 1, 2, 3]) AS c
+      FROM cells)
+    SELECT doc_id, CAST(0 AS INT) AS page, CAST(0 AS BIGINT) AS region_id,
+           CAST(r AS BIGINT) AS "row", CAST(c AS BIGINT) AS col,
+           'r' || r || 'c' || c AS cell_text
+    FROM grid
+    WHERE NOT (r = miss_r AND c = miss_c)
+    """,
+)
+def pdf_table_extract(spark, sf_dir):
+    """Structured cell extraction (layout.table_cells): region grid =
+    clustered union of line x-origins, row = dense_rank of snapped y,
+    col = grid origins left of the run — so the knocked-out cell's row
+    keeps its surviving cells in the RIGHT columns (positional rank would
+    shift them), and the missing cell is absent, not empty. Oracle pins
+    every (row, col, text) per document."""
+    from .operators.layout import positioned_runs, table_cells
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(
+        _layout_pdf_pages(d.select("doc_id", "text"), _table_missing_cell_page)
+    )
+    return table_cells(runs)
+
+
+def _media_column_page(doc_id: int, text: str) -> list[list[tuple]]:
+    """Two-column layout with an in-flow figure: the media run is emitted
+    FIRST in the content stream but sits mid-left-column (between text rows
+    m-1 and m, m = lc//2), so its span offset is a pure layout product."""
+    page = _two_column_page(doc_id, text)[0]
+    n_text = sum(1 for r in page if r[0] == "text")
+    lc = (n_text + 1) // 2
+    m = lc // 2
+    page.insert(0, ("media", 100, 720 - 16 * m + 8, f"img{doc_id}"))
+    return [page]
+
+
+@q(
+    "pdf_layout_spans",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents WHERE doc_id < 100),
+    p AS (
+      SELECT doc_id, ws, CAST(ceil(len(ws) / 4.0) AS INT) AS nl
+      FROM docs),
+    q AS (
+      SELECT doc_id, ws, nl, ((nl + 1) // 2) // 2 AS m
+      FROM p),
+    idx AS (
+      SELECT doc_id, ws, m, unnest(generate_series(0, nl - 1)) AS i
+      FROM q)
+    SELECT doc_id,
+           CAST(CASE WHEN i < m THEN i ELSE i + 1 END AS BIGINT) AS "offset",
+           'text' AS kind,
+           array_to_string(ws[4*i+1 : 4*i+4], ' ') AS text,
+           '' AS media_ref
+    FROM idx
+    UNION ALL
+    SELECT doc_id, CAST(m AS BIGINT), 'media', '', 'img' || doc_id
+    FROM q
+    """,
+)
+def pdf_layout_spans(spark, sf_dir):
+    """The north rule's span-sequence invariant on the LAYOUT path
+    (layout.layout_spans): reading-ordered runs → canonical interleaved
+    spans (doc_id, offset, kind, text, media_ref). The figure is emitted
+    first in the content stream but must take the offset between left-
+    column rows m-1 and m; every text span's offset shifts by one after
+    it. Oracle reconstructs the full (kind, text, media_ref, order)
+    sequence per document."""
+    from .operators.layout import layout_spans, positioned_runs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(
+        _layout_pdf_pages(d.select("doc_id", "text"), _media_column_page)
+    )
+    return layout_spans(runs)
+
+
+@q(
+    "html_outlinks",
+    """
+    WITH docs AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 120),
+    nav AS (
+      SELECT doc_id,
+             unnest(generate_series(0, k - 1)) AS i, k
+      FROM docs)
+    SELECT doc_id, CAST(i AS BIGINT) AS link_idx,
+           '/' || (['home','about','contact','careers'])[i + 1] AS href,
+           (['home','about','contact','careers'])[i + 1] AS anchor_text
+    FROM nav
+    UNION ALL
+    SELECT doc_id, CAST(k + v.j AS BIGINT), v.h, v.t
+    FROM docs, (VALUES (0, '/t/a', 'alpha'), (1, '/t/b', 'beta'),
+                       (2, '/t/c', 'gamma'), (3, '/r/1', 'related'),
+                       (4, '/r/2', 'links'), (5, '/privacy', 'privacy'))
+         AS v(j, h, t)
+    """,
+)
+def html_outlinks(spark, sf_dir):
+    """Outlink extraction (the web-graph primitive): the from-scratch link
+    scanner (html_codec.extract_links — same comment/rawtext/quoted-attr
+    rules as the block tokenizer, so script-embedded markup never links)
+    over the synthetic pages, emitting (doc_id, link_idx, href,
+    anchor_text). Oracle reconstructs the full doc-ordered link table from
+    the fixture: per-doc nav of 2 + doc_id%3 items, three tag links, two
+    aside links, the footer privacy link."""
+    from .operators.boilerplate import extract_outlinks
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return extract_outlinks(_html_pages(d.select("doc_id", "text")))

@@ -266,3 +266,114 @@ def tokenize_blocks(payload: bytes | str) -> list[dict]:
 
     flush()
     return blocks
+
+
+_HREF_RE = re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def extract_links(payload: bytes | str) -> list[dict]:
+    """One linear pass: HTML bytes -> ordered outlink rows, the web-graph
+    primitive (each dict: ``link_idx`` doc-ordered, ``href`` entity-decoded,
+    ``anchor_text`` whitespace-normalized).
+
+    Same scanning rules as :func:`tokenize_blocks` (comments / doctypes /
+    rawtext skipped, quoted attributes may contain ``>``, literal ``<`` is
+    text), so an ``<a>`` inside a script string is never a link.  HTML
+    forbids nested anchors: a new ``<a>`` implicitly closes the open one
+    (the tree-construction rule), and EOF closes a dangling anchor.
+    Anchors without an ``href`` (targets) are not links.  Never raises on
+    malformed markup."""
+    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    lower = html.lower()
+    n = len(html)
+
+    links: list[dict] = []
+    href: str | None = None
+    pieces: list[str] = []
+
+    def close_anchor() -> None:
+        nonlocal href, pieces
+        if href is not None:
+            links.append(
+                {
+                    "link_idx": len(links),
+                    "href": href,
+                    "anchor_text": " ".join("".join(pieces).split()),
+                }
+            )
+        href, pieces = None, []
+
+    i = 0
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            if href is not None:
+                pieces.append(decode_entities(html[i:]))
+            break
+        if lt > i and href is not None:
+            pieces.append(decode_entities(html[i:lt]))
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            else:
+                end = html.find(">", lt)
+                i = n if end == -1 else end + 1
+            continue
+        if nxt == "?":
+            end = html.find(">", lt)
+            i = n if end == -1 else end + 1
+            continue
+        closing = nxt == "/"
+        m = _NAME_RE.match(html, lt + (2 if closing else 1))
+        if not m:
+            if href is not None:
+                pieces.append("<")
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        j, quote = m.end(), None
+        while j < n:
+            c = html[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                break
+            j += 1
+        if j >= n:
+            break
+        tag_body = html[lt + 1 : j]
+        i = j + 1
+
+        if closing:
+            if name == "a":
+                close_anchor()
+            continue
+        self_closing = tag_body.rstrip().endswith("/")
+        if name in RAWTEXT and not self_closing:
+            end = lower.find("</" + name, i)
+            if end == -1:
+                i = n
+            else:
+                gt = html.find(">", end)
+                i = n if gt == -1 else gt + 1
+            continue
+        if name == "br":
+            if href is not None:
+                pieces.append(" ")
+            continue
+        if name == "a":
+            close_anchor()  # nested <a> implicitly closes the open one
+            hm = _HREF_RE.search(tag_body)
+            if hm and not self_closing:
+                href = decode_entities(
+                    next(g for g in hm.groups() if g is not None)
+                )
+    close_anchor()
+    return links

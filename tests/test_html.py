@@ -266,3 +266,42 @@ def test_decode_html_strips_boilerplate():
     spans = decode_html(page)
     assert [(s["kind"], s["offset"]) for s in spans] == [("text", 0), ("media", 1)]
     assert spans[0]["text"] == long and spans[1]["media_ref"] == "f.png"
+
+
+def test_extract_links_edge_cases():
+    from aide_spark.sources.html_codec import extract_links
+
+    h = (
+        b"<!DOCTYPE html><body>"
+        b"<script>var x='<a href=\"/no\">no</a>';</script>"
+        b'<a href="/one">first &amp; link</a> between '
+        b"<a href='/two'>second<br>line</a>"
+        b"<a name=target>not a link</a>"
+        b'<a href="/three">outer <a href=/four>nested</a>'
+        b'<!-- <a href=/c>comment</a> -->'
+        b'<a href="/bare">dangling'
+    )
+    got = [(li["link_idx"], li["href"], li["anchor_text"]) for li in extract_links(h)]
+    assert got == [
+        (0, "/one", "first & link"),     # entity decoded in anchor text
+        (1, "/two", "second line"),      # <br> is inline whitespace
+        (2, "/three", "outer"),          # nested <a> implicitly closes
+        (3, "/four", "nested"),
+        (4, "/bare", "dangling"),        # EOF closes a dangling anchor
+    ]
+
+
+def test_extract_links_quoted_gt_and_entity_href():
+    from aide_spark.sources.html_codec import extract_links
+
+    h = b'<a href="/q?a=1&amp;b=2" title="x > y">quoted</a>'
+    (li,) = extract_links(h)
+    assert li["href"] == "/q?a=1&b=2"
+    assert li["anchor_text"] == "quoted"
+
+
+def test_extract_links_never_raises_on_malformed():
+    from aide_spark.sources.html_codec import extract_links
+
+    for h in (b"<a", b"<a href=", b"<a href='unclosed", b"</a></a>", b"< a >", b""):
+        extract_links(h)

@@ -173,6 +173,70 @@ def test_single_wide_line_is_not_a_table(spark):
     assert table_regions(_runs_df(spark, rows)).count() == 0
 
 
+def test_table_cells_missing_cell_lands_by_grid(spark):
+    """A row missing its middle cell must keep its survivors in columns
+    0 and 2 — the region grid (union of all line origins) decides the
+    column, not positional rank within the line."""
+    from aide_spark.operators.layout import table_cells
+
+    rows = []
+    for r in range(2):
+        for c, x in enumerate((72, 180, 288)):
+            rows.append((x, 700 - 16 * r, "text", f"r{r}c{c}", ""))
+    rows.append((72, 668, "text", "r2c0", ""))
+    rows.append((288, 668, "text", "r2c2", ""))  # col 1 missing
+    got = {
+        (r.row, r.col): r.cell_text
+        for r in table_cells(_runs_df(spark, rows)).collect()
+    }
+    assert got[(2, 0)] == "r2c0"
+    assert got[(2, 2)] == "r2c2"
+    assert (2, 1) not in got
+    assert got[(0, 1)] == "r0c1"
+    assert len(got) == 8
+
+
+def test_table_cells_wrapped_text_concatenates(spark):
+    """Two runs landing in the same cell concatenate left-to-right."""
+    from aide_spark.operators.layout import table_cells
+
+    rows = []
+    for r in range(2):
+        for c, x in enumerate((72, 180, 288)):
+            rows.append((x, 700 - 16 * r, "text", f"r{r}c{c}", ""))
+    rows.append((185, 700, "text", "extra", ""))  # same cell as r0c1
+    got = {
+        (r.row, r.col): r.cell_text
+        for r in table_cells(_runs_df(spark, rows)).collect()
+    }
+    assert got[(0, 1)] == "r0c1 extra"
+
+
+def test_layout_spans_interleaves_media_in_reading_order(spark):
+    """Span emission: media between two left-column lines takes the offset
+    between them; right column follows; media_ref/text coalesce to ''."""
+    from aide_spark.operators.layout import layout_spans
+
+    rows = [
+        (100, 692, "media", None, "img9"),  # emitted first, y between L0/L1
+        (72, 700, "text", "L0 aaaa bbbb", ""),
+        (340, 700, "text", "R0 cccc dddd", ""),
+        (72, 684, "text", "L1 eeee ffff", ""),
+        (340, 684, "text", "R1 gggg hhhh", ""),
+    ]
+    got = [
+        (r["offset"], r.kind, r.text, r.media_ref)
+        for r in layout_spans(_runs_df(spark, rows)).orderBy("offset").collect()
+    ]
+    assert got == [
+        (0, "text", "L0 aaaa bbbb", ""),
+        (1, "media", "", "img9"),
+        (2, "text", "L1 eeee ffff", ""),
+        (3, "text", "R0 cccc dddd", ""),
+        (4, "text", "R1 gggg hhhh", ""),
+    ]
+
+
 def test_figure_caption_pairing(spark):
     from aide_spark.operators.layout import figure_captions
 

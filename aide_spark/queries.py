@@ -2548,3 +2548,115 @@ def html_outlinks(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return extract_outlinks(_html_pages(d.select("doc_id", "text")))
+
+
+@q(
+    "e2e_warc_ingest",
+    """
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 120),
+    f AS (SELECT doc_id, t, len(string_split(t, ' ')) AS nw, doc_id % 3 AS m
+          FROM d)
+    SELECT doc_id,
+           'site' || doc_id % 5 || '.test' AS host,
+           CAST(CASE WHEN m = 0 THEN NULL ELSE 200 END AS BIGINT)
+             AS http_status,
+           CASE m WHEN 0 THEN 'container' WHEN 1 THEN 'pdf' ELSE 'html' END
+             AS fmt,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 2
+                ELSE CASE WHEN nw > 17 THEN 3 WHEN nw = 17 THEN 2 ELSE 1 END
+                END AS BIGINT) AS n_spans,
+           CASE m WHEN 0 THEN 'statement ' || doc_id
+                  WHEN 1 THEN 'statement ' || doc_id
+                  ELSE CASE WHEN nw > 17 THEN 'report ' || doc_id
+                            WHEN nw = 17 THEN t ELSE '' END END AS head_text
+    FROM f
+    """,
+)
+def e2e_warc_ingest(spark, sf_dir):
+    """Web-crawl ingest end-to-end: documents grouped 10-per-WARC-file
+    (compression form cycling plain / whole-file gzip / member-per-record
+    gzip across files), each record an HTTP response (HTML, PDF) or a
+    resource (framed container, half of those gzipped AGAIN inside the
+    record) — parsed by the from-scratch WARC reader, bodies dispatched by
+    magic bytes to the from-scratch decoders, host pulled columnar with
+    parse_url. The oracle pins per-doc host, HTTP status, detected format,
+    span count and head span text across all three compression forms."""
+    import gzip as _gzip
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from .sources.binary_ingest import ingest_warc
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    wschema = StructType(
+        [StructField("warc_id", StringType()), StructField("content", BinaryType())]
+    )
+
+    def build_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.binary_ingest import encode_spans
+        from .sources.pdf_codec import encode_pdf
+        from .sources.warc_codec import encode_warc
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["doc_id"].iloc[0]) // 10
+        recs = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            url = f"http://site{did % 5}.test/doc/{did}"
+            if did % 3 == 0:
+                raw = encode_spans(
+                    [
+                        ("text", f"statement {did}", "", 0),
+                        ("text", t, "", 1),
+                        ("media", "", f"img{did}", 2),
+                    ]
+                )
+                recs.append(
+                    {
+                        "rec_type": "resource", "url": url,
+                        "body": _gzip.compress(raw) if did % 2 == 0 else raw,
+                    }
+                )
+            elif did % 3 == 1:
+                recs.append(
+                    {
+                        "rec_type": "response", "url": url,
+                        "http_status": 200, "content_type": "application/pdf",
+                        "body": encode_pdf(
+                            [
+                                ("text", f"statement {did}", "", 0),
+                                ("text", t, "", 1),
+                            ]
+                        ),
+                    }
+                )
+            else:
+                recs.append(
+                    {
+                        "rec_type": "response", "url": url,
+                        "http_status": 200, "content_type": "text/html",
+                        "body": _build_html_page(did, t),
+                    }
+                )
+        form = (None, "file", "record")[fid % 3]
+        return pd.DataFrame(
+            {"warc_id": [f"warc-{fid}"], "content": [encode_warc(recs, form)]}
+        )
+
+    files = (
+        d.select("doc_id", "text")
+        .groupBy((F.col("doc_id") / 10).cast("long"))
+        .applyInPandas(build_file, schema=wschema)
+    )
+    recs = ingest_warc(files)
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.col("http_status").cast("long").alias("http_status"),
+        "fmt",
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("head_text"),
+    )

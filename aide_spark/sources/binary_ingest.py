@@ -21,7 +21,14 @@ from __future__ import annotations
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import ArrayType, MapType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..schemas import PAGE_BREAK, SPAN
 
@@ -259,6 +266,62 @@ def ingest_mixed(
             )
 
     return df.mapInPandas(batches, schema=MIXED_DECODED)
+
+
+WARC_DECODED = StructType(
+    [
+        StructField("warc_id", StringType(), False),
+        StructField("rec_idx", LongType(), False),
+        StructField("rec_type", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("http_status", LongType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("spans", ArrayType(SPAN), True),
+    ]
+)
+
+
+def ingest_warc(
+    df: DataFrame, id_col: str = "warc_id", payload_col: str = "content"
+) -> DataFrame:
+    """WARC files → one row per record, decoded: the web-crawl ingest leg.
+
+    Each input row is one WARC file (plain, whole-file gzip, or
+    member-per-record gzip — Common Crawl's shape); the from-scratch reader
+    (:mod:`aide_spark.sources.warc_codec`) splits records and HTTP
+    messages, then each record body takes the same magic-byte dispatch as
+    :func:`ingest_mixed` into the unified interleaved span schema.
+    Undecodable bodies quarantine as null spans; malformed files yield
+    their parseable prefix (never raise).
+
+    Scale shape: zero shuffle — files are the partition unit exactly as
+    Common Crawl ships them (~1 GB segments), record explode happens inside
+    the Arrow batch, and decode parallelism = scan parallelism.  Skew from
+    giant files is the S2/skew.py story (repartition upstream on file
+    size), not a join problem."""
+    import pandas as pd
+
+    from .warc_codec import parse_warc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for r in parse_warc(payload):
+                    f = sniff_format(r["body"])
+                    rows.append(
+                        (
+                            str(wid), r["rec_idx"], r["rec_type"], r["url"],
+                            r["http_status"], r["content_type"], f,
+                            _MIXED_DECODERS[f](r["body"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_DECODED.fields]
+            )
+
+    return df.mapInPandas(batches, schema=WARC_DECODED)
 
 
 def ingest_binary(

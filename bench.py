@@ -44,6 +44,7 @@ HEADLINE = [
     "pdf_image_extract",
     "html_main_content",
     "pdf_reading_order",
+    "e2e_warc_ingest",
     "e2e_union_extract",
     "e2e_scanned_ocr_extract",
 ]

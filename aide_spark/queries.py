@@ -2660,3 +2660,70 @@ def e2e_warc_ingest(spark, sf_dir):
         F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("head_text"),
     )
+
+
+@q(
+    "html_charset_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16'
+                ELSE 'cp1252' END AS charset,
+           'naïve café résumé ' || doc_id
+             || ' with enough body words that the single paragraph block'
+             || ' clears the classifier word threshold easily' AS head_text
+    FROM documents WHERE doc_id < 90
+    """,
+)
+def html_charset_decode(spark, sf_dir):
+    """Charset-sniffed HTML decode end-to-end: the same page bytes arrive
+    utf-8, utf-16-with-BOM, or windows-1252-with-meta (cycling by doc_id);
+    sniff_format must still dispatch them as HTML (utf-16 head decode) and
+    the tokenizer must decode via the WHATWG prescan (BOM first, then
+    <meta charset>) so the non-ASCII text survives byte-exact. Oracle pins
+    the decoded head span per document."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .sources.binary_ingest import ingest_mixed
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 90)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                body = (
+                    f"naïve café résumé {did} with enough body words that"
+                    " the single paragraph block clears the classifier word"
+                    " threshold easily"
+                )
+                if did % 3 == 0:
+                    payloads.append(
+                        f"<html><body><p>{body}</p></body></html>".encode()
+                    )
+                elif did % 3 == 1:
+                    payloads.append(
+                        f"<html><body><p>{body}</p></body></html>".encode("utf-16")
+                    )
+                else:
+                    payloads.append(
+                        (
+                            '<html><head><meta charset="windows-1252"></head>'
+                            f"<body><p>{body}</p></body></html>"
+                        ).encode("cp1252")
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    mixed = ingest_mixed(d.select("doc_id").mapInPandas(gen, schema=schema))
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("utf-8"), F.lit("utf-16"), F.lit("cp1252")),
+            (F.col("doc_id").cast("long") % 3 + 1).cast("int"),
+        ).alias("charset"),
+        F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("head_text"),
+    )

@@ -216,6 +216,12 @@ def sniff_format(payload: bytes) -> str:
     head = bytes(payload[:256])
     if head[:4] == b"%PDF":
         return "pdf"
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # utf-16 HTML would never match byte-wise ('<\x00h\x00…'): decode
+        # the head for the sniff (the html decoder re-sniffs the charset)
+        head = head[2:].decode(
+            "utf-16-le" if head[:2] == b"\xff\xfe" else "utf-16-be", "replace"
+        ).encode("utf-8", "replace")
     low = head.lower()
     if low.lstrip()[:14] == b"<!doctype html" or b"<html" in low:
         return "html"

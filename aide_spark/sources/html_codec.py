@@ -81,6 +81,61 @@ _SRC_RE = re.compile(
 )
 
 
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_-]+)"""
+    rb"""|content\s*=\s*["'][^"']*?charset=([a-zA-Z0-9_-]+))""",
+    re.IGNORECASE,
+)
+
+# label → codec, the WHATWG encoding-label table trimmed to what stdlib
+# covers; unknown labels fall back to utf-8 (with 'replace', so decode
+# still never raises)
+_CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "latin1": "latin-1", "latin-1": "latin-1", "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "ascii": "ascii", "us-ascii": "ascii",
+    "windows-1251": "cp1251", "cp1251": "cp1251",
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc_jp", "gbk": "gbk", "gb2312": "gbk", "big5": "big5",
+    "euc-kr": "euc_kr", "koi8-r": "koi8_r",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def sniff_charset(payload: bytes) -> str:
+    """WHATWG encoding sniffing, trimmed: BOM first (authoritative), then a
+    ``<meta charset>`` / ``http-equiv`` prescan of the first 1024 bytes,
+    else utf-8.  Returns a Python codec name."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _CHARSET_RE.search(payload[:1024])
+    if m:
+        label = (m.group(1) or m.group(2)).decode("latin-1").lower()
+        return _CHARSET_ALIASES.get(label, "utf-8")
+    return "utf-8"
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """bytes → str via the sniffed charset; never raises (``replace``
+    errors, and a codec the build lacks falls back to utf-8)."""
+    codec = sniff_charset(payload)
+    if codec == "utf-8-sig":
+        payload = payload[3:]
+        codec = "utf-8"
+    elif codec in ("utf-16-le", "utf-16-be"):
+        payload = payload[2:]  # drop the BOM — it must not leak as U+FEFF text
+    try:
+        return payload.decode(codec, "replace")
+    except LookupError:
+        return payload.decode("utf-8", "replace")
+
+
 def decode_entities(s: str) -> str:
     """Decode ``&name;`` / ``&#NNN;`` / ``&#xHH;``; unknown names pass through."""
     if "&" not in s:
@@ -126,7 +181,7 @@ def tokenize_blocks(payload: bytes | str) -> list[dict]:
     drop the tail, stray closes are ignored (quarantine philosophy of
     binary_ingest.decode_container).
     """
-    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    html = decode_html_bytes(payload) if isinstance(payload, (bytes, bytearray)) else payload
     lower = html.lower()
     n = len(html)
 
@@ -285,7 +340,7 @@ def extract_links(payload: bytes | str) -> list[dict]:
     (the tree-construction rule), and EOF closes a dangling anchor.
     Anchors without an ``href`` (targets) are not links.  Never raises on
     malformed markup."""
-    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    html = decode_html_bytes(payload) if isinstance(payload, (bytes, bytearray)) else payload
     lower = html.lower()
     n = len(html)
 

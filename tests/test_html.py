@@ -305,3 +305,58 @@ def test_extract_links_never_raises_on_malformed():
 
     for h in (b"<a", b"<a href=", b"<a href='unclosed", b"</a></a>", b"< a >", b""):
         extract_links(h)
+
+
+def test_sniff_charset_bom_and_meta():
+    from aide_spark.sources.html_codec import decode_html_bytes, sniff_charset
+
+    assert sniff_charset(b"\xef\xbb\xbf<html>") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe<\x00h\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00<\x00h") == "utf-16-be"
+    assert sniff_charset(b'<meta charset="windows-1252">') == "cp1252"
+    assert sniff_charset(b"<META CHARSET='ISO-8859-1'>") == "latin-1"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=Shift_JIS">'
+        )
+        == "shift_jis"
+    )
+    assert sniff_charset(b'<meta charset="klingon-9">') == "utf-8"  # unknown
+    assert sniff_charset(b"<html>no meta at all") == "utf-8"
+    # meta beyond the 1024-byte prescan window is ignored (WHATWG rule)
+    assert sniff_charset(b" " * 1100 + b'<meta charset="latin1">') == "utf-8"
+    # BOM is stripped, not decoded into the text
+    assert decode_html_bytes(b"\xef\xbb\xbfhi") == "hi"
+
+
+def test_tokenize_blocks_charset_aware():
+    from aide_spark.sources.html_codec import tokenize_blocks
+
+    # cp1252 0x92 = right single quote; as utf-8 it would be a replacement char
+    page = b'<meta charset="windows-1252"><p>it\x92s body text here now</p>'
+    (b,) = tokenize_blocks(page)
+    assert b["text"] == "it’s body text here now"
+
+    utf16 = '<html><body><p>café text</p></body></html>'.encode("utf-16")
+    (b16,) = tokenize_blocks(utf16)
+    assert b16["text"] == "café text"
+
+
+def test_extract_links_charset_aware():
+    from aide_spark.sources.html_codec import extract_links
+
+    page = '<a href="/café">café</a>'.encode("utf-16")
+    (li,) = extract_links(page)
+    assert li["anchor_text"] == "café" and li["href"] == "/café"
+
+
+def test_sniff_format_utf16_html():
+    from aide_spark.sources.binary_ingest import sniff_format
+
+    assert sniff_format("<html><body>x</body></html>".encode("utf-16")) == "html"
+    # explicit BOM forms
+    assert sniff_format(b"\xff\xfe" + "<html>".encode("utf-16-le")) == "html"
+    assert sniff_format(b"\xfe\xff" + "<html>".encode("utf-16-be")) == "html"
+    # BOM-less utf-16 is not sniffable (documented limit): falls to container
+    assert sniff_format("<html>".encode("utf-16-be")) == "container"

@@ -1,0 +1,156 @@
+"""Repetition-based quality signals (the Gopher/MassiveText filter family).
+
+Real LLM-data pipelines gate documents on *repetition*: a page whose
+characters are mostly one repeated 2-gram, or whose 5-grams are mostly
+duplicates, is boilerplate/SEO spam, not prose (Rae et al. 2021, "Scaling
+Language Models: ... Gopher", §A.1.1 — public paper; the thresholds there
+are fractions of characters contained in repeated n-grams).
+
+Everything here is columnar DataFrame algebra:
+
+* word n-grams come from ``slice``+``array_join`` over the split words —
+  no Python in the loop;
+* the per-(doc, gram) counts are one hash aggregate keyed on
+  ``(doc_id, gram)`` — balanced by construction (a hot gram is still
+  spread across docs, a hot doc across grams), partial-agg map-side;
+* the per-doc reductions are a second hash aggregate keyed on ``doc_id``.
+
+At 100 TB this is exactly the shape you want: two shuffles, both on keys
+whose cardinality grows with the data, no window over the whole corpus,
+no driver collection. Ratios surface as floor-ppm BIGINTs so a DuckDB
+oracle hashes bit-identically (same integer → double → multiply → divide
+→ floor sequence in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of an array<string> column.
+
+    ``transform`` over ``sequence(1, size-n+1)`` + ``slice`` keeps the whole
+    construction in one JVM projection (empty when the doc has < n words).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    upper = F.size(words) - F.lit(n - 1)
+    return F.when(upper < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_chars, gram, cnt) — one explode + one hash aggregate."""
+    words = F.split(F.col("text"), r"\s+")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.explode(word_ngrams(words, n)).alias("gram"),
+        )
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _ppm(num: Column, den: Column) -> Column:
+    return F.floor(num.cast("double") * 1000000.0 / F.greatest(den, F.lit(1))).cast(
+        "long"
+    )
+
+
+def top_ngram_char_ppm(docs: DataFrame, n: int) -> DataFrame:
+    """Per doc: chars covered by the most frequent word n-gram, in ppm.
+
+    Gopher's "fraction of characters contained within the most
+    frequently-occurring n-gram": ``cnt * length(gram) / n_chars``.
+    Ties break to the lexicographically smallest gram (deterministic —
+    cross-engine hashable). Returns (doc_id, top{n}gram_ppm).
+    """
+    c = _gram_counts(docs, n)
+    # min(struct(-cnt, gram)) = max cnt, tie -> smallest gram
+    pick = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g")))
+    return (
+        c.groupBy("doc_id", "n_chars")
+        .agg(pick.alias("top"))
+        .select(
+            "doc_id",
+            _ppm(
+                (-F.col("top.neg")) * F.length("top.g"), F.col("n_chars")
+            ).alias(f"top{n}gram_ppm"),
+        )
+    )
+
+
+def dup_ngram_char_ppm(docs: DataFrame, n: int) -> DataFrame:
+    """Per doc: chars covered by ALL duplicated word n-grams, in ppm.
+
+    Gopher's duplicate-n-gram signal: every occurrence of a gram whose
+    count exceeds 1 contributes ``length(gram)`` chars (occurrences are
+    counted with overlap — documented determinism over fidelity to any
+    one de-overlapping scheme). Returns (doc_id, dup{n}gram_ppm).
+    """
+    c = _gram_counts(docs, n)
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(F.lit(0))
+    )
+    return (
+        c.groupBy("doc_id", "n_chars")
+        .agg(dup_chars.alias("dup_chars"))
+        .select(
+            "doc_id",
+            _ppm(F.col("dup_chars"), F.col("n_chars")).alias(f"dup{n}gram_ppm"),
+        )
+    )
+
+
+def dup_word_ppm(docs: DataFrame) -> DataFrame:
+    """Per doc: fraction of words that are repeats of an earlier word
+    (occurrences beyond each word's first), in ppm — the word-level
+    analogue of Gopher's duplicate-line fraction for corpora without
+    line structure. Returns (doc_id, dup_word_ppm).
+    """
+    words = F.split(F.col("text"), r"\s+")
+    c = (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.explode(words).alias("w"),
+        )
+        .groupBy("doc_id", "n_words", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        c.groupBy("doc_id", "n_words")
+        .agg(F.sum(F.col("cnt") - 1).alias("dups"))
+        .select("doc_id", _ppm(F.col("dups"), F.col("n_words")).alias("dup_word_ppm"))
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """The composed Gopher-style repetition gate: (doc_id, top2gram_ppm,
+    dup5gram_ppm, dup_word_ppm). Three independent aggregate paths joined
+    on doc_id — each is two balanced hash aggregates; the joins are
+    equi-joins on the (already-clustered) doc_id key.
+    """
+    base = docs.select("doc_id", "text")
+    out = (
+        base.select("doc_id")
+        .join(top_ngram_char_ppm(base, 2), "doc_id", "left")
+        .join(dup_ngram_char_ppm(base, 5), "doc_id", "left")
+        .join(dup_word_ppm(base), "doc_id", "left")
+    )
+    # a doc too short to have any n-gram has, by definition, zero repetition
+    return out.select(
+        "doc_id",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("top2gram_ppm", "dup5gram_ppm", "dup_word_ppm")
+        ],
+    )

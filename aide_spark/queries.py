@@ -2727,3 +2727,258 @@ def html_charset_decode(spark, sf_dir):
         ).alias("charset"),
         F.coalesce(F.element_at("spans", 1)["text"], F.lit("")).alias("head_text"),
     )
+
+
+# ===========================================================================
+# Web-pipeline extras (round 5): repetition gates, PII, URL graph keys
+# ===========================================================================
+
+
+@q(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws,
+             greatest(length(text), 1) AS nc
+      FROM documents),
+    bi_i AS (SELECT doc_id, nc, ws,
+                    unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+    bc AS (SELECT doc_id, nc, ws[i] || ' ' || ws[i+1] AS gram, count(*) AS cnt
+           FROM bi_i GROUP BY ALL),
+    top AS (SELECT DISTINCT doc_id, nc,
+              first_value(cnt * length(gram))
+                OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS topchars
+            FROM bc),
+    g5_i AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+             FROM w WHERE len(ws) >= 5),
+    g5c AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram,
+                   count(*) AS cnt
+            FROM g5_i GROUP BY doc_id, gram),
+    dup5 AS (SELECT doc_id,
+                    sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                             ELSE 0 END) AS dupchars
+             FROM g5c GROUP BY doc_id),
+    wu AS (SELECT doc_id, len(ws) AS nw, unnest(ws) AS wd FROM w),
+    wc AS (SELECT doc_id, nw, wd, count(*) AS cnt FROM wu GROUP BY ALL),
+    dw AS (SELECT doc_id, greatest(any_value(nw), 1) AS nw,
+                  sum(cnt - 1) AS dups
+           FROM wc GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(floor(CAST(t.topchars AS DOUBLE) * 1000000.0 / t.nc) AS BIGINT)
+        AS top2gram_ppm,
+      CAST(floor(CAST(coalesce(d5.dupchars, 0) AS DOUBLE) * 1000000.0 / t.nc)
+           AS BIGINT) AS dup5gram_ppm,
+      CAST(floor(CAST(dw.dups AS DOUBLE) * 1000000.0 / dw.nw) AS BIGINT)
+        AS dup_word_ppm
+    FROM top t JOIN dw ON t.doc_id = dw.doc_id
+    LEFT JOIN dup5 d5 ON t.doc_id = d5.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition gate (Rae et al. 2021 §A.1.1): chars in the
+    most frequent word-2-gram, chars in all duplicated 5-grams, repeated
+    words — each as floor-ppm (cross-engine exact integers). Two balanced
+    hash aggregates per signal keyed on (doc_id, gram) then doc_id; no
+    window over the corpus, no skew (hot grams spread across docs)."""
+    from .operators.textmetrics import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "pii_redact",
+    """
+    SELECT doc_id,
+      CAST(1 AS BIGINT) AS n_emails,
+      CAST(1 AS BIGINT) AS n_ips,
+      CAST(1 AS BIGINT) AS n_phones,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+      'contact [EMAIL] or [PHONE] card ' ||
+        CASE WHEN doc_id % 2 = 0 THEN '[CARD]' ELSE '4539578763621487' END ||
+        ' ip [IP] end' AS redacted
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub end-to-end: deterministic fixture text embeds an email, a
+    +phone, an IPv4, and a card number that is Luhn-VALID on even doc_ids
+    (grouped 4x4 form on multiples of 4) and Luhn-INVALID on odd ones —
+    the invalid digit run must SURVIVE redaction (no false positives on
+    order-id-like numbers). Oracle reconstructs counts + the exact
+    redacted string arithmetically; the Luhn fold itself is pinned by
+    unit/property tests."""
+    from .operators.pii import scan_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    card = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("4539-5787-6362-1486"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("4539578763621486"))
+        .otherwise(F.lit("4539578763621487"))
+    )
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555010"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" card "),
+        card,
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    return scan_documents(d.select("doc_id", raw.alias("text")))
+
+
+@q(
+    "url_canonicalize",
+    """
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'http://example.com/Path/a?a=1&b=2&id=' || (doc_id % 10)
+        WHEN 1 THEN 'https://sub.shop.co.uk/'
+        WHEN 2 THEN 'http://example.com:8080/?q=1'
+        WHEN 3 THEN 'https://a.github.io/p/../q'
+        WHEN 4 THEN 'http://www.news.com.au/x'
+        ELSE 'mailto:user@x.com' END AS canonical_url,
+      CASE doc_id % 6
+        WHEN 0 THEN 'example.com'  WHEN 1 THEN 'shop.co.uk'
+        WHEN 2 THEN 'example.com'  WHEN 3 THEN 'a.github.io'
+        WHEN 4 THEN 'news.com.au'  ELSE '' END AS domain
+    FROM documents WHERE doc_id < 240
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain (eTLD+1) keys: lowercase
+    scheme/host, default-port drop (non-default kept), fragment strip,
+    tracking-param removal + bytewise param sort, empty path -> '/';
+    schemeless strings pass through. Domain via longest-suffix match on
+    the inlined PSL subset (multi-label suffixes like co.uk / github.io
+    take three labels). Pure projection — fuses into the scan."""
+    from .operators.weblinks import canonicalize_url, registrable_domain, url_host
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    url = F.element_at(
+        F.array(
+            F.concat(
+                F.lit("HTTP://Example.COM:80/Path/a?utm_source=news&b=2&a=1&id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("#frag"),
+            ),
+            F.lit("https://Sub.Shop.co.uk:443/"),
+            F.lit("http://example.com:8080?q=1"),
+            F.lit("https://a.GitHub.io/p/../q"),
+            F.lit("http://www.news.com.au/x?fbclid=abc"),
+            F.lit("mailto:user@x.com"),
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(url).alias("canonical_url"),
+        registrable_domain(url_host(url)).alias("domain"),
+    )
+
+
+@q(
+    "web_domain_outdegree",
+    """
+    SELECT 'shop' || (doc_id % 5) || '.co.uk' AS domain,
+           CAST(sum(8 + doc_id % 3) AS BIGINT) AS n_links
+    FROM documents WHERE doc_id < 120
+    GROUP BY 1
+    """,
+)
+def web_domain_outdegree(spark, sf_dir):
+    """The web-graph composition: real HTML outlink extraction (the
+    from-scratch tag scanner) -> RFC 3986 href resolution against each
+    page's base URL (dot segments removed via an aggregate fold) ->
+    canonicalization -> registrable-domain grouping. One explode + one
+    hash aggregate keyed on domain; every per-link step is a fused
+    projection. Oracle computes the same out-degrees arithmetically from
+    the fixture (k nav links + 6 body/footer links per page)."""
+    from .operators.boilerplate import extract_outlinks
+    from .operators.weblinks import (
+        canonicalize_url,
+        registrable_domain,
+        resolve_href,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    links = extract_outlinks(_html_pages(d.select("doc_id", "text")))
+    base = F.concat(
+        F.lit("http://www.shop"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".co.uk/dir/page.html"),
+    )
+    resolved = links.select(
+        canonicalize_url(resolve_href(base, F.col("href"))).alias("u")
+    )
+    return resolved.groupBy(
+        registrable_domain(url_host(F.col("u"))).alias("domain")
+    ).agg(F.count("*").cast("long").alias("n_links"))
+
+
+_ROBOTS_FIXTURE = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok.html\n",
+    "User-agent: trainbot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\n",
+    "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/\n# comment line\n",
+    "\n",
+]
+_ROBOTS_PATHS = [
+    "/private/ok.html",
+    "/private/secret.html",
+    "/docs/x.pdf",
+    "/docs/page.html",
+    "/tmp/y",
+]
+
+
+@q(
+    "robots_admission",
+    """
+    SELECT doc_id, 'h' || (doc_id % 4) || '.com' AS host,
+      CASE doc_id % 5
+        WHEN 0 THEN '/private/ok.html' WHEN 1 THEN '/private/secret.html'
+        WHEN 2 THEN '/docs/x.pdf' WHEN 3 THEN '/docs/page.html'
+        ELSE '/tmp/y' END AS path,
+      CAST(CASE WHEN doc_id % 4 = 1 THEN 0
+                WHEN doc_id % 4 = 0 AND doc_id % 5 = 1 THEN 0
+                WHEN doc_id % 4 = 2 AND doc_id % 5 = 2 THEN 0
+                ELSE 1 END AS BIGINT) AS allowed
+    FROM documents WHERE doc_id < 160
+    """,
+)
+def robots_admission(spark, sf_dir):
+    """RFC 9309 URL admission: parse four fixture robots.txt bodies
+    (wildcard + $-anchor patterns, exact-agent group shadowing '*',
+    allow-beats-disallow on equal length, longest-match precedence,
+    comments, blank hosts) and gate a 160-URL table for agent
+    'trainbot'. Rules are broadcast — zero shuffle added to the URL
+    side. Oracle states the RFC outcome arithmetically."""
+    from .operators.robots import parse_robots, robots_allowed
+
+    d = _t(spark, sf_dir, "documents")
+    robots = d.where(F.col("doc_id") < 4).select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _ROBOTS_FIXTURE]),
+            (F.col("doc_id") + 1).cast("int"),
+        ).alias("content"),
+    )
+    urls = d.where(F.col("doc_id") < 160).select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("path"),
+    )
+    out = robots_allowed(urls, parse_robots(robots), agent="trainbot")
+    return out.select(
+        "doc_id", "host", "path", F.col("allowed").cast("long").alias("allowed")
+    )

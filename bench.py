@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "text_lang_id_ngram",
+    "text_repetition",
+    "web_domain_outdegree",
     "multimodal_decode_real",
     "multimodal_frame_sample",
     "multimodal_video_frames",

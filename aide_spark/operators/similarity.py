@@ -158,3 +158,139 @@ def ivf_search(
         .orderBy(F.desc("sim"), "vec_id")
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------- PQ
+
+
+def pq_codebook(m: int = 8, k: int = 16, d: int = 8) -> list:
+    """Deterministic product-quantization codebook: ``m`` subspaces ×
+    ``k`` centroids × ``d`` dims, values in exact quarter steps
+    (-1.5 … +1.5) so every literal is an exact binary fraction — the
+    same constants fold bit-identically in Spark and a DuckDB oracle.
+
+    A production codebook comes from per-subspace k-means over a sample;
+    the *search* algebra below is identical either way — only these
+    constants change (swap in trained floats, keep the fold order).
+    """
+    return [
+        [
+            [((((7 * mi + 5 * ki + 3 * j) % 13) - 6) / 4.0) for j in range(d)]
+            for ki in range(k)
+        ]
+        for mi in range(m)
+    ]
+
+
+def _sq_l2(sub, cent):
+    """Sequential-fold squared L2 between an array slice and a literal
+    centroid — ((0.0+d0²)+d1²)+…, the exact DuckDB list_reduce twin."""
+    diffs = F.zip_with(
+        sub,
+        cent,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _lit_codebook(book: list):
+    """The nested codebook as ONE JVM literal (array<array<array<double>>>)
+    — the same create-literal route as the lang-ID profile table; never a
+    createDataFrame(list) python-RDD scan."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in sub])
+            for sub in book
+        ]
+    )
+
+
+def pq_encode(embeddings: DataFrame, book: list | None = None) -> DataFrame:
+    """Add a ``pq_code`` array<int> column: per subspace, the index of the
+    nearest codebook centroid (squared L2, first-wins on ties — the fold
+    scans k ascending and replaces only on strictly-smaller distance).
+
+    Entirely one JVM projection per row: no shuffle, no join, no Python.
+    At 100 TB this is the point of PQ — the 64-float embedding (256 B)
+    compresses to m bytes, so the candidate scan in :func:`pq_topk` reads
+    ~32× less data and the codes table fits page-cache-resident where the
+    raw vectors never could.
+    """
+    book = book or pq_codebook()
+    m, d = len(book), len(book[0][0])
+    lit = _lit_codebook(book)
+
+    def nearest(mi):
+        sub = F.slice(F.col("embedding"), mi * d + 1, d)
+        cents = F.element_at(lit, mi + 1)
+        # distances materialize ONCE as the fold's input array (a distance
+        # referenced inside the lambda body would re-evaluate per step —
+        # the CollapseProject/HOF re-evaluation trap); the fold then
+        # carries (best_dist, best_k, next_index) and replaces only on
+        # strictly-smaller, so ties keep the first k
+        dists = F.transform(cents, lambda c: _sq_l2(sub, c))
+        init = F.struct(
+            F.lit(float("inf")).alias("bd"),
+            F.lit(-1).cast("int").alias("bk"),
+            F.lit(0).cast("int").alias("i"),
+        )
+        picked = F.aggregate(
+            dists,
+            init,
+            lambda acc, dv: F.struct(
+                F.when(dv < acc["bd"], dv).otherwise(acc["bd"]).alias("bd"),
+                F.when(dv < acc["bd"], acc["i"]).otherwise(acc["bk"]).alias("bk"),
+                (acc["i"] + 1).alias("i"),
+            ),
+        )
+        return picked["bk"]
+
+    return embeddings.withColumn(
+        "pq_code", F.array(*[nearest(mi) for mi in range(m)])
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    book: list | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC): approximate distance of every
+    encoded vector to the query = Σ_m ‖q_sub[m] − C[m][code[m]]‖² — the
+    query stays UN-quantized (the standard Jégou et al. 2011 trade).
+
+    The query row is a 1-row broadcast (same shape as ``ann_cosine_topk``);
+    the per-row lookup is a fold over the m code entries into the literal
+    codebook — no join against a codes table, no shuffle before the final
+    TakeOrderedAndProject.
+    """
+    book = book or pq_codebook()
+    m, d = len(book), len(book[0][0])
+    lit = _lit_codebook(book)
+    enc = pq_encode(embeddings, book)
+    qv = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    joined = enc.where(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(qv)
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + _sq_l2(
+            F.slice(F.col("q"), mi * d + 1, d),
+            F.element_at(
+                F.element_at(lit, mi + 1),
+                F.element_at(F.col("pq_code"), mi + 1) + 1,
+            ),
+        ),
+    )
+    return (
+        joined.select(
+            "vec_id", F.round(adist, 6).alias("adist")
+        )
+        .orderBy("adist", "vec_id")
+        .limit(topk)
+    )

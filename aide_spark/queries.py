@@ -2982,3 +2982,147 @@ def robots_admission(spark, sf_dir):
     return out.select(
         "doc_id", "host", "path", F.col("allowed").cast("long").alias("allowed")
     )
+
+
+@q(
+    "text_normalize_nfc",
+    """
+    SELECT doc_id,
+           'na' || chr(239) || 've caf' || chr(233) || ' r' || chr(233) ||
+             'sum' || chr(233) || ' ' || doc_id AS text_nfc,
+           CAST(22 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_before,
+           CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_after
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization (the precondition for any text-hash
+    dedup): decomposed fixture text (4 combining marks, built from
+    explicit \\u escapes so no editor/tool re-normalizes the source)
+    is normalized to the precomposed form via the Arrow-batched pandas
+    str.normalize pass; before/after codepoint counts pin that exactly
+    4 codepoints fused. Oracle states the precomposed string via chr()
+    codepoints (U+00EF, U+00E9) + counts directly."""
+    from .operators.normalize import nfc_normalize_table
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    raw = F.concat(
+        F.lit("nai\u0308ve cafe\u0301 re\u0301sume\u0301 "),
+        F.col("doc_id").cast("string"),
+    )
+    src = d.select("doc_id", raw.alias("text"))
+    out = nfc_normalize_table(src)
+    return (
+        out.join(src.select("doc_id", F.length("text").alias("n_before")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("text").alias("text_nfc"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.length("text").cast("long").alias("n_after"),
+        )
+    )
+
+
+def _pq_cents_sql() -> str:
+    """The PQ codebook as a 128-row VALUES table (m, k, c) — the same
+    constants as operators.similarity.pq_codebook, so the oracle and the
+    Spark plan quantize identically (quarter-step values are exact in
+    both decimal and binary)."""
+    from .operators.similarity import pq_codebook
+
+    book = pq_codebook()
+    rows = []
+    for mi, sub in enumerate(book):
+        for ki, cent in enumerate(sub):
+            lst = "[" + ", ".join(str(v) for v in cent) + "]"
+            rows.append(f"({mi}, {ki}, {lst})")
+    return "cents(m, k, c) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_PQ_DIST = (
+    "list_reduce(list_transform(list_zip({sub}, {cent}), "
+    "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), "
+    "(x, y) -> x + y)"
+)
+
+_PQ_CODES_CTE = """
+    e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    d AS (SELECT vec_id, m, k,
+            {dist} AS dist
+          FROM e, cents),
+    best AS (SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, k) AS rn
+             FROM d)
+""".format(
+    dist=_PQ_DIST.format(sub="embedding[m*8+1 : m*8+8]", cent="c")
+)
+
+
+@q(
+    "ann_pq_codes",
+    "WITH "
+    + "{cents},"
+    + _PQ_CODES_CTE
+    + """
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS code_str
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def ann_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011, public): each
+    64-dim embedding compresses to 8 nearest-centroid indices (8 subspaces
+    × 16 centroids, squared-L2, first-wins ties). One JVM projection per
+    row — distances materialize once per subspace as the argmin fold's
+    input array; no shuffle, no join, no Python. At 100 TB the codes table
+    is ~32× smaller than the raw vectors — the scan PQ search reads."""
+    from .operators.similarity import pq_encode
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return pq_encode(e.select("vec_id", "embedding")).select(
+        "vec_id",
+        F.array_join(
+            F.transform("pq_code", lambda c: c.cast("string")), "-"
+        ).alias("code_str"),
+    )
+
+
+@q(
+    "ann_pq_topk",
+    "WITH "
+    + "{cents},"
+    + _PQ_CODES_CTE
+    + """,
+    q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+    ad AS (SELECT b.vec_id, b.m,
+             {qdist} AS dm
+           FROM best b JOIN cents c ON c.m = b.m AND c.k = b.k, q
+           WHERE b.rn = 1 AND b.vec_id <> 0),
+    s AS (SELECT vec_id,
+            list_reduce(list(dm ORDER BY m), (x, y) -> x + y) AS adist
+          FROM ad GROUP BY vec_id)
+    SELECT vec_id, round(adist, 6) AS adist
+    FROM s ORDER BY adist, vec_id LIMIT 10
+    """.format(
+        qdist=_PQ_DIST.format(sub="qe[b.m*8+1 : b.m*8+8]", cent="c.c")
+    ),
+)
+def ann_pq_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search (ADC): un-quantized query vs encoded
+    base — approximate distance = ordered fold over the 8 per-subspace
+    ‖q_sub − C[m][code]‖² terms (sequential in BOTH engines:
+    aggregate-init-0.0 ≡ list_reduce over the m-ordered list). 1-row
+    broadcast query, TakeOrderedAndProject top-10 — no shuffle before the
+    final ordering."""
+    from .operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return pq_topk(e.select("vec_id", "embedding"), query_vec_id=0, topk=10)
+
+
+# inject the shared codebook constants into both PQ oracles
+for _pq_name in ("ann_pq_codes", "ann_pq_topk"):
+    _fn, _sql = QUERIES[_pq_name]
+    QUERIES[_pq_name] = (_fn, _sql.replace("{cents}", _pq_cents_sql()))
+del _pq_name, _fn, _sql

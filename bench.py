@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "dedup_components",
     "ann_cosine_topk",
+    "ann_pq_topk",
     "text_quality_score",
     "text_lang_id_ngram",
     "text_repetition",

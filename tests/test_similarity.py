@@ -132,3 +132,83 @@ def test_ivf_assign_auto_delegates_above_threshold(spark):
         .toString()
     )
     assert "Join" not in flat
+
+
+# ---------------------------------------------------------------------- PQ
+
+
+def _np_book():
+    import numpy as np
+
+    from aide_spark.operators.similarity import pq_codebook
+
+    return np.array(pq_codebook())  # (8, 16, 8)
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    from aide_spark.operators.similarity import pq_encode
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["pq_code"] for r in pq_encode(df).collect()}
+    book = _np_book()
+    for i, v in enumerate(vecs):
+        v64 = v.astype(np.float64)
+        want = [
+            int(np.argmin(((v64[m * 8 : m * 8 + 8] - book[m]) ** 2).sum(axis=1)))
+            for m in range(8)
+        ]
+        assert got[i] == want, f"vec {i}"
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    import numpy as np
+
+    from aide_spark.operators.similarity import pq_encode, pq_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r["vec_id"], r["adist"]) for r in pq_topk(df, 0, 5).collect()]
+
+    book = _np_book()
+    q = vecs[0].astype(np.float64)
+    ad = {}
+    for i, v in enumerate(vecs):
+        if i == 0:
+            continue
+        v64 = v.astype(np.float64)
+        code = [
+            int(np.argmin(((v64[m * 8 : m * 8 + 8] - book[m]) ** 2).sum(axis=1)))
+            for m in range(8)
+        ]
+        ad[i] = sum(
+            float(((q[m * 8 : m * 8 + 8] - book[m][code[m]]) ** 2).sum())
+            for m in range(8)
+        )
+    want = sorted(ad.items(), key=lambda t: (t[1], t[0]))[:5]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-5
+
+
+def test_pq_code_is_narrow_plan(spark):
+    """No shuffle, no join in the encode plan — a pure projection."""
+    import numpy as np
+
+    from aide_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    plan = pq_encode(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

@@ -213,3 +213,29 @@ def test_remove_dot_segments(spark):
         ("/a//b", "/a/b"),
     ]:
         assert _one(spark, remove_dot_segments(F.lit(raw))) == want, raw
+
+
+# ------------------------------------------------------------- normalization
+
+
+def test_nfc_normalize_table(spark):
+    import unicodedata
+
+    from aide_spark.operators.normalize import nfc_normalize_table
+
+    decomp = "naïve café"
+    df = spark.createDataFrame([(0, decomp), (1, None)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["text"] for r in nfc_normalize_table(df).collect()}
+    assert rows[0] == unicodedata.normalize("NFC", decomp)
+    assert len(rows[0]) == len(decomp) - 2
+    assert rows[1] is None  # null-safe
+
+
+def test_strip_controls_and_whitespace(spark):
+    from aide_spark.operators.normalize import clean_whitespace, strip_controls
+
+    raw = "a\x00b\x1fc\td  e\n\nf  "
+    got = _one(
+        spark, clean_whitespace(strip_controls(F.lit(raw)))
+    )
+    assert got == "abc d e f"

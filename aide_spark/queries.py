@@ -3126,3 +3126,526 @@ for _pq_name in ("ann_pq_codes", "ann_pq_topk"):
     _fn, _sql = QUERIES[_pq_name]
     QUERIES[_pq_name] = (_fn, _sql.replace("{cents}", _pq_cents_sql()))
 del _pq_name, _fn, _sql
+
+
+# ===========================================================================
+# Paragraph-level dedup (CCNet, Wenzek et al. 2020 §3)
+# ===========================================================================
+
+_PARA_FIXTURE_SQL = """
+  SELECT doc_id,
+         'Terms and conditions apply to every statement.' || chr(10) ||
+         'Unique body content for document ' || doc_id || '.' || chr(10) ||
+         'Promo bucket ' || (doc_id % 7) || ' offer text.' AS text
+  FROM documents WHERE doc_id < 400
+"""
+
+_PARA_EXPLODE_SQL = """
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d),
+    p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+                 lower(trim(regexp_replace(ps[i], '\\s+', ' ', 'g'))) AS k
+          FROM (SELECT doc_id, ps,
+                       unnest(generate_series(1, len(ps))) AS i
+                FROM s))
+"""
+
+
+def _para_fixture(spark, sf_dir) -> DataFrame:
+    """Deterministic 3-paragraph docs: one global boilerplate paragraph,
+    one doc-unique body, one paragraph shared within doc_id%7 buckets."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    text = F.concat(
+        F.lit("Terms and conditions apply to every statement.\n"),
+        F.lit("Unique body content for document "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\n"),
+        F.lit("Promo bucket "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" offer text."),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+@q(
+    "dedup_paragraph_ccnet",
+    "WITH d AS ("
+    + _PARA_FIXTURE_SQL
+    + "),"
+    + _PARA_EXPLODE_SQL
+    + """,
+    w AS (SELECT k, min(doc_id * 1000000 + pos) AS winner
+          FROM p WHERE length(k) > 0 GROUP BY k),
+    kp AS (SELECT p.doc_id, p.pos, p.para,
+                  (length(p.k) = 0
+                   OR p.doc_id * 1000000 + p.pos = w.winner) AS kept
+           FROM p LEFT JOIN w ON p.k = w.k)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           coalesce(string_agg(para, chr(10) ORDER BY pos)
+                      FILTER (WHERE kept), '') AS text_deduped
+    FROM kp GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_ccnet(spark, sf_dir):
+    """CCNet paragraph dedup (Wenzek et al. 2020 §3): the first corpus-wide
+    occurrence of each normalized paragraph survives, documents are
+    reassembled in original order. On the fixture, exactly one doc keeps
+    the boilerplate paragraph, one doc per % 7 bucket keeps the promo
+    paragraph, every doc keeps its unique body. Winner = packed
+    min(doc_id*1e6+pos) BIGINT — identical integer arithmetic in both
+    engines (DuckDB arg_min rejects struct keys). Three shuffles, all on
+    growing-cardinality keys; the hot boilerplate key collapses map-side
+    in the partial min."""
+    from .operators.paragraphs import dedup_paragraphs
+
+    return dedup_paragraphs(_para_fixture(spark, sf_dir))
+
+
+@q(
+    "text_paragraph_dup_profile",
+    "WITH d AS ("
+    + _PARA_FIXTURE_SQL
+    + "),"
+    + _PARA_EXPLODE_SQL
+    + """,
+    c AS (SELECT k, count(*) AS occ FROM p WHERE length(k) > 0 GROUP BY k)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE c.occ > 1) AS BIGINT) AS n_dup_paras,
+           CAST(floor(CAST(coalesce(sum(CASE WHEN c.occ > 1
+                                             THEN length(p.para) END), 0)
+                           AS DOUBLE) * 1000000.0
+                      / greatest(sum(length(p.para)), 1)) AS BIGINT)
+             AS dup_char_ppm
+    FROM p LEFT JOIN c ON p.k = c.k
+    GROUP BY p.doc_id
+    """,
+)
+def text_paragraph_dup_profile(spark, sf_dir):
+    """Gate form of paragraph dedup: per-doc share of characters sitting in
+    corpus-duplicated paragraphs, as floor-ppm BIGINT (cross-engine exact
+    integer → double → floor). Two hash aggregates (paragraph key, then
+    doc) + one join — no text rewrite, the shape a threshold filter
+    actually runs."""
+    from .operators.paragraphs import paragraph_duplication_profile
+
+    return paragraph_duplication_profile(_para_fixture(spark, sf_dir))
+
+
+# ===========================================================================
+# Model-based quality filter (fastText hashing trick, Joulin et al. 2016)
+# ===========================================================================
+
+
+def _quality_model_sql() -> str:
+    from .operators.quality_model import (
+        BIAS,
+        oracle_bucket_sql,
+        weight_values_sql,
+    )
+
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> length(w) > 0)) AS tok
+      FROM d),
+    feats AS (
+      SELECT doc_id, tok AS feature FROM toks
+      UNION ALL
+      SELECT doc_id, substring(tok, i, 3) AS feature
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, length(tok) - 2)) AS i
+            FROM toks WHERE length(tok) >= 3)),
+    b AS (SELECT doc_id, {oracle_bucket_sql('feature')} AS bucket
+          FROM feats),
+    wt AS (SELECT * FROM (VALUES {weight_values_sql()}) AS t(bucket, w)),
+    per AS (SELECT b.doc_id, count(*) AS nf, sum(wt.w) AS wsum
+            FROM b JOIN wt ON b.bucket = wt.bucket GROUP BY b.doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(per.nf, 0) AS BIGINT) AS n_features,
+      CAST(coalesce(per.wsum, 0) + coalesce(per.nf, 0) * ({BIAS})
+           AS BIGINT) AS score_milli,
+      CASE WHEN coalesce(per.wsum, 0) + coalesce(per.nf, 0) * ({BIAS}) > 0
+           THEN 'keep' ELSE 'junk' END AS label
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@q("text_quality_model", None)  # SQL injected below (import-order safe)
+def text_quality_model(spark, sf_dir):
+    """Learned linear quality filter (fastText hashing trick): hashed
+    token + char-trigram features, integer milli-weights trained at
+    import from the inline labeled corpus, BIGINT score — bit-identical
+    in DuckDB via the same rolling-hash fold and weight VALUES table.
+    One explode + broadcast weight join + one doc-keyed groupBy; held-out
+    accuracy pinned in tests/test_quality_model.py."""
+    from .operators.quality_model import score_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return score_documents(d.select("doc_id", "text"))
+
+
+_fn_qm, _ = QUERIES["text_quality_model"]
+QUERIES["text_quality_model"] = (_fn_qm, _quality_model_sql())
+del _fn_qm
+
+
+# ===========================================================================
+# Span -> Markdown serialization (the export format of extraction pipelines)
+# ===========================================================================
+
+
+@q("render_markdown", None)  # SQL spliced from the pdf_layout_spans oracle
+def render_markdown_q(spark, sf_dir):
+    """Layout spans rendered to markdown: text spans become paragraphs,
+    the in-flow figure becomes a GFM image, joined with blank lines in
+    offset order — the export chain layout → spans → markdown over the
+    same deterministic two-column fixture as pdf_layout_spans. One
+    bounded per-doc aggregate on top of the layout plan."""
+    from .operators.layout import layout_spans, positioned_runs
+    from .operators.markdown import render_markdown
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(
+        _layout_pdf_pages(d.select("doc_id", "text"), _media_column_page)
+    )
+    return render_markdown(layout_spans(runs))
+
+
+@q("render_markdown_table", None)  # SQL spliced from the pdf_table_extract oracle
+def render_markdown_table_q(spark, sf_dir):
+    """Structured cells rendered as a GFM pipe table (header, ``| --- |``
+    delimiter, body rows; the knocked-out cell's row simply has fewer
+    cells). Two bounded aggregates — (doc, row) then doc."""
+    from .operators.layout import positioned_runs, table_cells
+    from .operators.markdown import render_markdown_table
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    runs = positioned_runs(
+        _layout_pdf_pages(d.select("doc_id", "text"), _table_missing_cell_page)
+    )
+    return render_markdown_table(table_cells(runs))
+
+
+def _markdown_oracles() -> None:
+    spans_sql = QUERIES["pdf_layout_spans"][1]
+    md_sql = f"""
+    WITH spans AS ({spans_sql})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           string_agg(CASE WHEN kind = 'media'
+                           THEN '![](' || media_ref || ')'
+                           ELSE text END,
+                      chr(10) || chr(10) ORDER BY "offset") AS markdown
+    FROM spans GROUP BY doc_id
+    """
+    fn, _ = QUERIES["render_markdown"]
+    QUERIES["render_markdown"] = (fn, md_sql)
+
+    cells_sql = QUERIES["pdf_table_extract"][1]
+    tbl_sql = f"""
+    WITH cells AS ({cells_sql}),
+    lines AS (
+      SELECT doc_id, "row" AS r, count(*) AS nc,
+             '| ' || string_agg(cell_text, ' | ' ORDER BY col) || ' |'
+               AS md_row
+      FROM cells GROUP BY doc_id, "row"),
+    asm AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(nc) AS BIGINT) AS n_cols,
+             list(md_row ORDER BY r) AS ls
+      FROM lines GROUP BY doc_id)
+    SELECT doc_id, n_rows, n_cols,
+           ls[1] || chr(10) || '|' || repeat(' --- |', CAST(n_cols AS INT))
+           || CASE WHEN len(ls) > 1
+                   THEN chr(10) || array_to_string(ls[2:], chr(10))
+                   ELSE '' END AS markdown
+    FROM asm
+    """
+    fn, _ = QUERIES["render_markdown_table"]
+    QUERIES["render_markdown_table"] = (fn, tbl_sql)
+
+
+_markdown_oracles()
+
+
+# ===========================================================================
+# Crawl discovery & page metadata (sitemaps.org protocol, OpenGraph)
+# ===========================================================================
+
+_SITEMAP_FIXTURE_SQL = """
+  SELECT b.doc_id,
+    '<?xml version="1.0"?>' || chr(10) ||
+    '<urlset>' || chr(10) || b.urls || chr(10) ||
+    CASE WHEN b.doc_id % 4 = 0
+         THEN '<sitemap ><loc>https://site' || (b.doc_id % 5)
+              || '.example/sub' || b.doc_id || '.xml</loc></sitemap >' || chr(10)
+         ELSE '' END ||
+    '</urlset>' AS xml
+  FROM (
+    SELECT doc_id, string_agg(
+      '  <url>' || chr(10) ||
+      '    <loc> https://site' || (doc_id % 5) || '.example/p' || i
+        || ' </loc>' || chr(10) ||
+      CASE WHEN (doc_id + i) % 3 <> 0
+           THEN '    <lastmod>2026-0' || (1 + (doc_id + i) % 9)
+                || '-15</lastmod>' || chr(10) ELSE '' END ||
+      '    <changefreq>' || (['daily','weekly','monthly'])[1 + (doc_id + i) % 3]
+        || '</changefreq>' || chr(10) ||
+      '    <priority>0.' || (5 + i % 5) || '</priority>' || chr(10) ||
+      '  </url>', chr(10) ORDER BY i) AS urls
+    FROM (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS i
+          FROM documents WHERE doc_id < 120)
+    GROUP BY doc_id) b
+"""
+
+
+def _sitemap_fixture(spark, sf_dir) -> DataFrame:
+    """Deterministic sitemap XML: 2-4 <url> entries (lastmod present only
+    when (doc_id+i)%3 != 0, loc padded with whitespace, multi-line), plus
+    a <sitemapindex>-style child on doc_id%4==0 — identical construction
+    to _SITEMAP_FIXTURE_SQL."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    did = F.col("doc_id")
+    freq = F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"))
+
+    def url_block(i):
+        return F.concat(
+            F.lit("  <url>\n    <loc> https://site"),
+            (did % 5).cast("string"),
+            F.lit(".example/p"),
+            i.cast("string"),
+            F.lit(" </loc>\n"),
+            F.when(
+                (did + i) % 3 != 0,
+                F.concat(
+                    F.lit("    <lastmod>2026-0"),
+                    (1 + (did + i) % 9).cast("string"),
+                    F.lit("-15</lastmod>\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("    <changefreq>"),
+            F.element_at(freq, (1 + (did + i) % 3).cast("int")),
+            F.lit("</changefreq>\n    <priority>0."),
+            (5 + i % 5).cast("string"),
+            F.lit("</priority>\n  </url>"),
+        )
+
+    urls = F.array_join(
+        F.transform(F.sequence(F.lit(0), 1 + did % 3), url_block), "\n"
+    )
+    child = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("<sitemap ><loc>https://site"),
+            (did % 5).cast("string"),
+            F.lit(".example/sub"),
+            did.cast("string"),
+            F.lit(".xml</loc></sitemap >\n"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+        urls,
+        F.lit("\n"),
+        child,
+        F.lit("</urlset>"),
+    )
+    return d.select("doc_id", xml.alias("xml"))
+
+
+@q(
+    "sitemap_parse",
+    "WITH d AS ("
+    + _SITEMAP_FIXTURE_SQL
+    + """),
+    u AS (SELECT doc_id, xml,
+                 regexp_extract_all(xml, '(?is)<url\\s*>(.*?)</url\\s*>', 1)
+                   AS ue,
+                 regexp_extract_all(
+                   xml, '(?is)<sitemap\\s*>(.*?)</sitemap\\s*>', 1) AS se
+          FROM d),
+    ent AS (
+      SELECT doc_id, i - 1 AS entry_idx, 'url' AS kind, ue[i] AS e
+      FROM (SELECT doc_id, ue,
+                   unnest(generate_series(1, len(ue))) AS i FROM u)
+      UNION ALL
+      SELECT doc_id, len(ue) + i - 1, 'sitemap', se[i]
+      FROM (SELECT doc_id, ue, se,
+                   unnest(generate_series(1, len(se))) AS i FROM u))
+    SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind,
+      regexp_extract(e, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) AS loc,
+      regexp_extract(e, '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1)
+        AS lastmod,
+      regexp_extract(
+        e, '(?is)<changefreq\\s*>\\s*(.*?)\\s*</changefreq\\s*>', 1)
+        AS changefreq,
+      regexp_extract(e, '(?is)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1)
+        AS priority
+    FROM ent
+    WHERE length(regexp_extract(
+      e, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1)) > 0
+    """,
+)
+def sitemap_parse(spark, sf_dir):
+    """Sitemap frontier reader (sitemaps.org protocol): urlset entries +
+    sitemapindex children as one ordered entry stream per document, with
+    loc/lastmod/changefreq/priority fields. Same RE2 patterns in both
+    engines over the identically-constructed fixture XML; one projection
+    + posexplode, no shuffle."""
+    from .operators.crawlmeta import parse_sitemap
+
+    return parse_sitemap(_sitemap_fixture(spark, sf_dir))
+
+
+def _page_meta_sql() -> str:
+    """Oracle generated from the SAME RE2 patterns as the operator —
+    zero drift between engines."""
+    from .operators.crawlmeta import _CANON_FWD, _CANON_REV, _TITLE, META_FIELDS
+
+    esc = lambda p: p.replace("'", "''")  # noqa: E731
+
+    def first(fwd: str, rev: str) -> str:
+        return (
+            f"coalesce(nullif(regexp_extract(html, '{esc(fwd)}', 1), ''), "
+            f"nullif(regexp_extract(html, '{esc(rev)}', 1), ''), '')"
+        )
+
+    fields = ", ".join(
+        f"{first(fwd, rev)} AS {name}" for name, (fwd, rev) in META_FIELDS.items()
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        '<html><head>' || chr(10) ||
+        '<title>  Page ' || doc_id || ' of site' || (doc_id % 5)
+          || '  </title>' || chr(10) ||
+        CASE doc_id % 3
+          WHEN 0 THEN '<meta property="og:title" content="OG Page '
+                      || doc_id || '">'
+          WHEN 1 THEN '<meta content=''OG Page ' || doc_id
+                      || ''' property=''og:title''>'
+          ELSE '<meta data-x="1" property="og:title" content="OG Page '
+               || doc_id || '" />'
+        END || chr(10) ||
+        '<meta property="og:description" content="About page '
+          || doc_id || '.">' || chr(10) ||
+        CASE WHEN doc_id % 2 = 0
+             THEN '<meta property="og:image" content="https://img.site'
+                  || (doc_id % 5) || '.example/i' || doc_id || '.png">'
+                  || chr(10)
+             ELSE '' END ||
+        '<meta name="description" content="Plain description '
+          || doc_id || '">' || chr(10) ||
+        CASE WHEN doc_id % 2 = 0
+             THEN '<link rel="canonical" href="https://site' || (doc_id % 5)
+                  || '.example/canon/' || doc_id || '">'
+             ELSE '<link href=''https://site' || (doc_id % 5)
+                  || '.example/canon/' || doc_id || ''' rel=''canonical''>'
+        END || chr(10) || '</head><body>x</body></html>' AS html
+      FROM documents WHERE doc_id < 150)
+    SELECT doc_id,
+      trim(regexp_extract(html, '{esc(_TITLE)}', 1)) AS title,
+      {fields},
+      {first(_CANON_FWD, _CANON_REV)} AS canonical
+    FROM d
+    """
+
+
+def _page_meta_fixture(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    og_title = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG Page '),
+                s(did),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<meta content='OG Page "),
+                s(did),
+                F.lit("' property='og:title'>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<meta data-x="1" property="og:title" content="OG Page '),
+                s(did),
+                F.lit('" />'),
+            )
+        )
+    )
+    og_image = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:image" content="https://img.site'),
+            s(did % 5),
+            F.lit(".example/i"),
+            s(did),
+            F.lit('.png">\n'),
+        ),
+    ).otherwise(F.lit(""))
+    canonical = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://site'),
+            s(did % 5),
+            F.lit(".example/canon/"),
+            s(did),
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<link href='https://site"),
+            s(did % 5),
+            F.lit(".example/canon/"),
+            s(did),
+            F.lit("' rel='canonical'>"),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>\n<title>  Page "),
+        s(did),
+        F.lit(" of site"),
+        s(did % 5),
+        F.lit("  </title>\n"),
+        og_title,
+        F.lit("\n"),
+        F.lit('<meta property="og:description" content="About page '),
+        s(did),
+        F.lit('.">\n'),
+        og_image,
+        F.lit('<meta name="description" content="Plain description '),
+        s(did),
+        F.lit('">\n'),
+        canonical,
+        F.lit("\n</head><body>x</body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+@q("html_page_meta", None)  # SQL injected below (needs module import)
+def html_page_meta(spark, sf_dir):
+    """Page-metadata extraction (title / OpenGraph / canonical /
+    description): both attribute orders and both quote styles exercised
+    by the fixture variants; the oracle runs the SAME RE2 patterns
+    (generated from operators/crawlmeta.META_FIELDS — no drift). Pure
+    projection, no shuffle."""
+    from .operators.crawlmeta import extract_page_meta
+
+    return extract_page_meta(_page_meta_fixture(spark, sf_dir))
+
+
+_fn_pm, _ = QUERIES["html_page_meta"]
+QUERIES["html_page_meta"] = (_fn_pm, _page_meta_sql())
+del _fn_pm

@@ -3649,3 +3649,52 @@ def html_page_meta(spark, sf_dir):
 _fn_pm, _ = QUERIES["html_page_meta"]
 QUERIES["html_page_meta"] = (_fn_pm, _page_meta_sql())
 del _fn_pm
+
+
+# ===========================================================================
+# Learned BPE subword token counting (Sennrich et al. 2016)
+# ===========================================================================
+
+
+def _bpe_sql() -> str:
+    from .operators.bpe import oracle_count_sql, oracle_encode_sql
+
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> length(w) > 0)) AS tok
+      FROM d),
+    vocab AS (SELECT tok, {oracle_encode_sql('tok')} AS enc
+              FROM (SELECT DISTINCT tok FROM toks)),
+    vc AS (SELECT tok, {oracle_count_sql('enc')} AS n_sub FROM vocab),
+    per AS (SELECT doc_id, count(*) AS nw, sum(n_sub) AS nt
+            FROM toks JOIN vc USING (tok) GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(per.nw, 0) AS BIGINT) AS n_words,
+      CAST(coalesce(per.nt, 0) AS BIGINT) AS n_bpe_tokens
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@q("text_bpe_token_count", None)  # SQL injected below
+def text_bpe_token_count(spark, sf_dir):
+    """Real learned BPE token counting (replaces the whitespace/regex
+    proxy as the budgeting tokenizer): merges trained at import on the
+    inline seed corpus, encoding = rank-ordered literal-replace chain
+    over bracket-wrapped symbols — provably equivalent to the greedy
+    reference loop (merging never creates an adjacency for an earlier
+    pair) and byte-identical in DuckDB. Vocabulary-sized encode (distinct
+    tokens), occurrence counts join back by equi-join."""
+    from .operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return bpe_token_counts(d.select("doc_id", "text"))
+
+
+_fn_bpe, _ = QUERIES["text_bpe_token_count"]
+QUERIES["text_bpe_token_count"] = (_fn_bpe, _bpe_sql())
+del _fn_bpe

@@ -38,8 +38,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_pq_topk",
     "text_quality_score",
+    "text_quality_model",
     "text_lang_id_ngram",
     "text_repetition",
+    "dedup_paragraph_ccnet",
     "web_domain_outdegree",
     "multimodal_decode_real",
     "multimodal_frame_sample",

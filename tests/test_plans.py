@@ -333,3 +333,42 @@ def test_skew_round_robin_exact_placement(spark):
         .collect()
     }
     assert place(out) == place(again)
+
+
+def test_paragraph_dedup_shuffle_budget(spark):
+    """CCNet paragraph dedup: hash-agg on the paragraph key (map-side
+    partial min), join back, doc reassembly — a bounded Exchange budget
+    and never a cartesian (the corpus-duplicated-paragraph key must not
+    trigger any nested-loop fallback)."""
+    from aide_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared header\nbody {i}") for i in range(32)],
+        "doc_id long, text string",
+    )
+    df = dedup_paragraphs(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    from aide_spark.operators.skew import explain_shuffles
+
+    assert explain_shuffles(df) <= 5, plan
+
+
+def test_quality_model_weight_join_is_broadcast(spark):
+    """The 256-row literal weight table must broadcast; the only real
+    shuffle is the doc-keyed aggregate."""
+    from aide_spark.operators.quality_model import score_documents
+
+    docs = spark.createDataFrame(
+        [(i, "some plain text here") for i in range(16)],
+        "doc_id long, text string",
+    )
+    df = score_documents(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the weight table alone is a literal explode, not a python-RDD scan
+    # (createDataFrame(list) would cold-start a python worker per task)
+    from aide_spark.operators.quality_model import weights_df
+
+    wplan = weights_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in wplan

@@ -3698,3 +3698,54 @@ def text_bpe_token_count(spark, sf_dir):
 _fn_bpe, _ = QUERIES["text_bpe_token_count"]
 QUERIES["text_bpe_token_count"] = (_fn_bpe, _bpe_sql())
 del _fn_bpe
+
+
+@q(
+    "events_session_windows",
+    """
+    WITH e AS (SELECT event_type, ts, value FROM events),
+    l AS (
+      SELECT event_type, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS brk
+      FROM e),
+    g AS (
+      SELECT event_type, ts, value,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT event_type,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM g GROUP BY event_type, sid
+    """,
+)
+def events_session_windows(spark, sf_dir):
+    """§2.11 session windows, batch form: ``F.session_window`` (dynamic
+    extents — session end = last event + gap; Catalyst's native session
+    merge) vs a DuckDB gaps-and-islands twin (lag-break running sum).
+    The streaming twin (streaming/stream.py:sessionized_event_counts) is
+    pinned equal to this aggregation in test_streaming."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_c"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n",
+            "value_c",
+        )
+    )

@@ -281,3 +281,33 @@ def collapse_band_verdicts(verdicts: DataFrame) -> DataFrame:
     return verdicts.groupBy("doc_id", "seq").agg(
         F.max("is_dup").alias("is_dup"), F.min("dup_of").alias("dup_of")
     )
+
+
+def sessionized_event_counts(
+    events_stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (the fourth streaming window
+    shape next to tumbling/stateful/near-dup): per event_type, events
+    separated by less than ``gap`` merge into one session; a session
+    closes when the watermark passes its end + gap. Session windows are
+    the crawl-side idiom for per-host fetch bursts and user activity
+    bouts — dynamic extents, so they exercise the state-store merge path
+    rather than fixed bucketing.
+
+    Spark-first: ``F.session_window`` drives Catalyst's native session
+    aggregation (UpdatingSessionsExec + merging state), no custom state
+    handler needed.
+    """
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

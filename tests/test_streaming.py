@@ -171,3 +171,46 @@ def test_streaming_near_dup_filter_matches_sequential_reference(spark, tmp_path)
         want[did] = (bool(hits), min(hits) if hits else None)
     assert got == want
     assert sum(1 for d, _ in got.values() if d) > 0  # dups actually exercised
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    """Streaming session windows (dynamic extents, merging state) must equal
+    the batch session_window aggregation over the same events."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.streaming.stream import sessionized_event_counts
+
+    events_path = str(tmp_path / "events_sess")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(events_path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(events_path)
+    agg = sessionized_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (str(r.session_start), str(r.session_end), r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    want = {
+        (str(r.ss), str(r.se), r.event_type, r.n)
+        for r in ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("ss"),
+            F.col("w.end").alias("se"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -75,3 +75,37 @@ def expire_before(spark: SparkSession, path: str, cutoff_date: str) -> DataFrame
     the parquet fallback returns the retained view for compact-rewrite."""
     df = spark.read.parquet(path)
     return df.where(F.col("ingest_date") >= F.lit(cutoff_date))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sort-within-bucket) table write — the
+    co-located-join layout for the corpus's stable keys.
+
+    At 100 TB the tables that join repeatedly on ``doc_id`` (spans ↔
+    metadata ↔ dedup labels ↔ quality scores) should be written
+    ``bucketBy(N, doc_id)`` once so every later equi-join is
+    exchange-free: Spark's scan reports the bucketing as its output
+    partitioning and the join planner skips both shuffles (pinned by
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free). ``sortBy``
+    additionally pre-orders within buckets so sort-merge joins skip the
+    sort. Bucket counts must match across tables to co-locate — pick one
+    corpus-wide N (a power of two: AQE can coalesce, never split).
+
+    ``path`` makes it an external table (parquet files at that location);
+    bucketing metadata lives in the session catalog either way —
+    production would register the same layout in the lakehouse catalog.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -372,3 +372,42 @@ def test_quality_model_weight_join_is_broadcast(spark):
 
     wplan = weights_df(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in wplan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    equi-join with ZERO Exchange operators — the co-located-join layout
+    write_bucketed exists to produce (prompt: 'bucketing for co-located
+    joins'). Non-bucketed baseline asserts the counterfactual."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.sources.tables import write_bucketed
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    labels = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("label")
+    )
+    write_bucketed(docs, "t_docs_b", "doc_id", 4, path=str(tmp_path / "d"))
+    write_bucketed(labels, "t_labels_b", "doc_id", 4, path=str(tmp_path / "l"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_docs_b").join(spark.table("t_labels_b"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+        # counterfactual: the same join over plain parquet shuffles both sides
+        docs.write.mode("overwrite").parquet(str(tmp_path / "dp"))
+        labels.write.mode("overwrite").parquet(str(tmp_path / "lp"))
+        flat = spark.read.parquet(str(tmp_path / "dp")).join(
+            spark.read.parquet(str(tmp_path / "lp")), "doc_id"
+        )
+        fplan = flat._jdf.queryExecution().executedPlan().toString()
+        assert fplan.count("Exchange") >= 2, fplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_labels_b")

@@ -363,3 +363,49 @@ def cosine_verify_pairs(
     if threshold is not None:
         out = out.where(F.col("sim") > threshold)
     return out
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the production ingest shape: a new batch
+    arrives while a fingerprint store of everything already ingested
+    exists. Classify every new document instead of filtering silently:
+
+    ``(id_col, content_hash, status)`` with status ∈
+
+    * ``'seen'``       — hash exists in the store (cross-batch dup);
+    * ``'dup_in_batch'`` — first occurrence is earlier IN THIS BATCH
+      (min id wins, same deterministic-survivor rule as dedup_exact);
+    * ``'new'``        — the batch's keeper for an unseen hash. Exactly
+      the rows to append to the store and the corpus.
+
+    ``seen_hashes`` needs one column ``content_hash``. Plan shape: one
+    hash-aggregate for the batch keeper (map-side-combining ``min`` — a
+    hash duplicated a million times in one batch collapses per map task,
+    never a hot window partition), joined back on the same exchange, and
+    one LEFT equi-join against the store (store-sized but hash-keyed —
+    at 100 TB the store is bucketed on content_hash by write_bucketed,
+    making the join exchange-free on the store side). No collect, no
+    cross join, no window.
+    """
+    hashed = new_docs.select(
+        id_col, F.md5(F.col(text_col)).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keeper")
+    )
+    marked = hashed.join(keepers, "content_hash")
+    store = seen_hashes.select(
+        F.col("content_hash"), F.lit(True).alias("in_store")
+    ).dropDuplicates(["content_hash"])
+    joined = marked.join(store, "content_hash", "left")
+    status = (
+        F.when(F.col("in_store"), F.lit("seen"))
+        .when(F.col(id_col) != F.col("keeper"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return joined.select(id_col, "content_hash", status.alias("status"))

@@ -3749,3 +3749,64 @@ def events_session_windows(spark, sf_dir):
             "value_c",
         )
     )
+
+
+@q(
+    "dedup_incremental_exact",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE doc_id < 100),
+    batch AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 4
+                      THEN (SELECT text FROM documents d2
+                            WHERE d2.doc_id = d.doc_id % 100)
+                      WHEN doc_id % 5 = 3
+                      THEN 'batch dup family ' || (doc_id % 10)
+                      ELSE text END) AS content_hash
+      FROM documents d WHERE doc_id >= 100 AND doc_id < 400),
+    keep AS (SELECT content_hash, min(doc_id) AS keeper
+             FROM batch GROUP BY content_hash)
+    SELECT b.doc_id, b.content_hash,
+           CASE WHEN s.content_hash IS NOT NULL THEN 'seen'
+                WHEN b.doc_id <> k.keeper THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b
+    JOIN keep k ON b.content_hash = k.content_hash
+    LEFT JOIN seen s ON b.content_hash = s.content_hash
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental ingest dedup: docs 0-99 are the already-ingested store;
+    the batch (100-399) contains cross-batch dups (doc_id%5==4 reuses a
+    stored doc's text), within-batch dup families (%5==3 share synthetic
+    text), and genuinely new docs. Every row classified seen /
+    dup_in_batch / new with the deterministic min-id keeper; one
+    map-side-combining aggregate + two hash-keyed equi-joins."""
+    from .operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    store_docs = d.where(F.col("doc_id") < 100)
+    seen = store_docs.select(F.md5("text").alias("content_hash"))
+    batch = d.alias("b").where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 400)
+    )
+    # cross-batch dup rows take the text of stored doc (doc_id % 100)
+    reused = batch.where(F.col("doc_id") % 5 == 4).join(
+        store_docs.select(
+            F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+        ),
+        F.col("b.doc_id") % 100 == F.col("src_id"),
+    ).select(F.col("b.doc_id").alias("doc_id"), F.col("src_text").alias("text"))
+    fam = batch.where(F.col("doc_id") % 5 == 3).select(
+        "doc_id",
+        F.concat(
+            F.lit("batch dup family "), (F.col("doc_id") % 10).cast("string")
+        ).alias("text"),
+    )
+    rest = batch.where(
+        (F.col("doc_id") % 5 != 4) & (F.col("doc_id") % 5 != 3)
+    ).select("doc_id", "text")
+    new_docs = reused.unionByName(fam).unionByName(rest)
+    return incremental_exact_dedup(new_docs, seen)

@@ -140,3 +140,45 @@ def test_connected_components_matches_union_find(spark, edges):
     for n in range(25):
         want[n] = comp_min[find(n)]
     assert got == want
+
+
+def test_incremental_exact_dedup_statuses(spark):
+    """seen / dup_in_batch / new classification with deterministic keeper."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.operators.dedup import incremental_exact_dedup
+
+    store = spark.createDataFrame(
+        [("old content",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        [
+            (10, "old content"),     # seen
+            (11, "fresh thing"),     # new (keeper)
+            (12, "fresh thing"),     # dup_in_batch
+            (13, "other fresh"),     # new
+            (14, "old content"),     # seen (even though 10 also has it)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_dedup(batch, store).collect()
+    }
+    assert out == {
+        10: "seen", 11: "new", 12: "dup_in_batch", 13: "new", 14: "seen"
+    }
+
+
+def test_incremental_exact_dedup_empty_store(spark):
+    from aide_spark.operators.dedup import incremental_exact_dedup
+
+    store = spark.createDataFrame([], "content_hash string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_dedup(batch, store).collect()
+    }
+    assert out == {1: "new", 2: "dup_in_batch", 3: "new"}

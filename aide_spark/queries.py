@@ -3810,3 +3810,74 @@ def dedup_incremental_exact(spark, sf_dir):
     ).select("doc_id", "text")
     new_docs = reused.unionByName(fam).unionByName(rest)
     return incremental_exact_dedup(new_docs, seen)
+
+
+# ===========================================================================
+# Composed filter stack: the full keep/drop decision (CCNet/Gopher shape)
+# ===========================================================================
+
+
+@q("corpus_filter_stack", None)  # SQL composed from the component oracles
+def corpus_filter_stack(spark, sf_dir):
+    """The decision layer a real corpus pipeline runs: repetition gates
+    (Gopher), learned quality score (fastText shape) and language-ID
+    joined per document into one keep/drop verdict with named reasons —
+    composed from the SAME three registered queries (and on the SQL side
+    from their registered oracles verbatim), so the integration row can
+    only pass if the components agree end-to-end. Three doc-keyed
+    equi-joins; reasons are a fixed-order concat_ws (both engines skip
+    NULLs)."""
+    rep = QUERIES["text_repetition"][0](spark, sf_dir)
+    qm = QUERIES["text_quality_model"][0](spark, sf_dir)
+    lg = QUERIES["text_lang_id_ngram"][0](spark, sf_dir)
+    j = (
+        rep.join(qm, "doc_id")
+        .join(lg, "doc_id")
+    )
+    r_model = F.when(F.col("label") != "keep", F.lit("junk_model"))
+    r_2g = F.when(F.col("top2gram_ppm") >= 200000, F.lit("repetitive_2gram"))
+    r_5g = F.when(F.col("dup5gram_ppm") >= 300000, F.lit("repetitive_5gram"))
+    r_und = F.when(F.col("predicted") == "und", F.lit("lang_unknown"))
+    reasons = F.concat_ws(",", r_model, r_2g, r_5g, r_und)
+    return j.select(
+        "doc_id",
+        "predicted",
+        "score_milli",
+        "top2gram_ppm",
+        "dup5gram_ppm",
+        F.when(reasons == "", F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "decision"
+        ),
+        reasons.alias("reasons"),
+    )
+
+
+def _filter_stack_sql() -> str:
+    rep = QUERIES["text_repetition"][1]
+    qm = QUERIES["text_quality_model"][1]
+    lg = QUERIES["text_lang_id_ngram"][1]
+    return f"""
+    WITH r AS ({rep}), qm AS ({qm}), lg AS ({lg}),
+    j AS (
+      SELECT r.doc_id, lg.predicted, qm.score_milli, qm.label,
+             r.top2gram_ppm, r.dup5gram_ppm,
+             concat_ws(',',
+               CASE WHEN qm.label <> 'keep' THEN 'junk_model' END,
+               CASE WHEN r.top2gram_ppm >= 200000
+                    THEN 'repetitive_2gram' END,
+               CASE WHEN r.dup5gram_ppm >= 300000
+                    THEN 'repetitive_5gram' END,
+               CASE WHEN lg.predicted = 'und' THEN 'lang_unknown' END)
+               AS reasons
+      FROM r JOIN qm ON r.doc_id = qm.doc_id
+             JOIN lg ON r.doc_id = lg.doc_id)
+    SELECT doc_id, predicted, score_milli, top2gram_ppm, dup5gram_ppm,
+           CASE WHEN reasons = '' THEN 'keep' ELSE 'drop' END AS decision,
+           reasons
+    FROM j
+    """
+
+
+_fn_fs, _ = QUERIES["corpus_filter_stack"]
+QUERIES["corpus_filter_stack"] = (_fn_fs, _filter_stack_sql())
+del _fn_fs

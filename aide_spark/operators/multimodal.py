@@ -264,3 +264,66 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def dhash_py(width: int, height: int, nch: int, px: bytes) -> int:
+    """Difference hash (dHash, the standard perceptual fingerprint for
+    image near-dup — Krawetz 2013, public method): downscale to a 9×8
+    luma grid by block averaging, emit bit ``r*8+c`` = 1 iff
+    ``grid[r][c] > grid[r][c+1]``. Returned as SIGNED 64-bit (two's
+    complement) so it fits a Spark/DuckDB BIGINT column.
+
+    Block boundaries use the standard integer partition
+    ``x0 = c*W//9`` — exact for any W,H ≥ grid size; multi-channel
+    images are luma-averaged across channels first.
+    """
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    a = a.reshape(height, width, nch).mean(axis=2)
+    xs = [c * width // 9 for c in range(10)]
+    ys = [r * height // 8 for r in range(9)]
+    grid = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            grid[r, c] = a[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean()
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload) → (doc_id, width, height, dhash BIGINT); NULLs for
+    undecodable payloads. Same Arrow-batch shape as the other decoders;
+    the fingerprints feed ``dedup.simhash_hamming_pairs(bits=64,
+    n_bands=8)`` for banded perceptual near-dup (exact for Hamming ≤ 7)
+    — the media leg of the dedup family.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_image(b if b is not None else b"")
+                if img is None or img[0] < 9 or img[1] < 8:
+                    rows.append((int(doc_id), None, None, None))
+                else:
+                    w, h, nch, px = img
+                    rows.append((int(doc_id), w, h, dhash_py(w, h, nch, px)))
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=DHASH_SCHEMA)

@@ -270,7 +270,9 @@ def test_connected_components_unconverged_contract(spark):
         partial = connected_components(pairs, nodes, max_iterations=2, strict=False)
         assert any("did not converge" in str(w.message) for w in caught)
     got = {r.doc_id: r.component for r in partial.collect()}
-    assert got[8] == 6  # labels propagated exactly 2 hops, not to the min
+    # 2 rounds of hash-min + pointer jumping cover 3 hops each (neighbor
+    # step then label-of-label shortcut): node 8 reaches 8-6=2, not the min
+    assert got[8] == 2
     partial.unpersist()
 
 

@@ -3881,3 +3881,124 @@ def _filter_stack_sql() -> str:
 _fn_fs, _ = QUERIES["corpus_filter_stack"]
 QUERIES["corpus_filter_stack"] = (_fn_fs, _filter_stack_sql())
 del _fn_fs
+
+
+# ===========================================================================
+# Perceptual image dedup: dHash + banded Hamming pairs (the media dedup leg)
+# ===========================================================================
+
+# cell pattern (8 rows x 9 cols of 2x2-px blocks in an 18x16 image):
+#   base(doc,r,c) = (((doc%7)*31 + r*9 + c) % 7) % 2   -- 7 image families
+#   flip: odd docs invert the single cell r*9+c == doc%72 -- hamming jitter
+# dHash bit (r,c in 0..7) = cell(r,c)==1 AND cell(r,c+1)==0, bit k = r*8+c.
+_DHASH_CELLS_SQL = """
+    cells AS (
+      SELECT doc_id, r, c,
+             CASE WHEN (doc_id % 2 = 1 AND r * 9 + c = doc_id % 72)
+                  THEN 1 - b ELSE b END AS v
+      FROM (
+        SELECT doc_id, i // 9 AS r, i % 9 AS c,
+               (((doc_id % 7) * 31 + i) % 7) % 2 AS b
+        FROM (SELECT doc_id, unnest(generate_series(0, 71)) AS i FROM dh_docs))),
+    dbits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS k,
+             CASE WHEN a.v = 1 AND n.v = 0 THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells n
+        ON a.doc_id = n.doc_id AND a.r = n.r AND n.c = a.c + 1
+      WHERE a.c < 8),
+    dh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k < 63 THEN bit * (CAST(1 AS BIGINT) << k)
+                           ELSE bit * (-9223372036854775808) END)
+                  AS BIGINT) AS dhash
+      FROM dbits GROUP BY doc_id)
+"""
+
+
+def _dhash_cell_py(doc_id: int, r: int, c: int) -> int:
+    b = (((doc_id % 7) * 31 + r * 9 + c) % 7) % 2
+    if doc_id % 2 == 1 and r * 9 + c == doc_id % 72:
+        b = 1 - b
+    return b
+
+
+def _dhash_fixture(spark, sf_dir, limit: int) -> DataFrame:
+    """18x16 grayscale PNGs whose 2x2-px blocks follow the cell pattern —
+    the decode → block-average → compare path then lands exactly on the
+    arithmetic dHash the oracle recomputes."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.image_codec import encode_png
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < limit)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = bytearray()
+                for y in range(16):
+                    for x in range(18):
+                        px.append(255 * _dhash_cell_py(did, y // 2, x // 2))
+                payloads.append(encode_png(18, 16, 1, bytes(px)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(gen, schema=schema)
+
+
+@q(
+    "multimodal_image_dhash",
+    "WITH dh_docs AS (SELECT doc_id FROM documents WHERE doc_id < 120),"
+    + _DHASH_CELLS_SQL
+    + """
+    SELECT doc_id, CAST(18 AS INT) AS width, CAST(16 AS INT) AS height, dhash
+    FROM dh
+    """,
+)
+def multimodal_image_dhash(spark, sf_dir):
+    """Perceptual fingerprint of REAL decoded images: 18x16 PNGs built from
+    the deterministic cell pattern, decoded and dHashed through the Arrow
+    path (downscale to a 9x8 luma grid by block means, bit = left>right);
+    the oracle recomputes the 64-bit signed hash arithmetically. Flat
+    mapInPandas, no shuffle."""
+    from .operators.multimodal import image_dhash
+
+    return image_dhash(_dhash_fixture(spark, sf_dir, 120))
+
+
+@q(
+    "multimodal_dhash_pairs",
+    "WITH dh_docs AS (SELECT doc_id FROM documents WHERE doc_id < 56),"
+    + _DHASH_CELLS_SQL
+    + """
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    """,
+)
+def multimodal_dhash_pairs(spark, sf_dir):
+    """Media near-dup end-to-end: dHash the decoded images, then the SAME
+    banded Hamming-ball join as text SimHash (8x8-bit bands over 64 bits —
+    pigeonhole-exact for distance <= 7; 7 image families x 8 docs keep
+    every band bucket under the sub-split cap, so the oracle's brute-force
+    all-pairs is the exact expected output). The odd-doc cell flip gives
+    within-family distances of 0-4 instead of all-zero."""
+    from .operators.dedup import simhash_hamming_pairs
+    from .operators.multimodal import image_dhash
+
+    fps = image_dhash(_dhash_fixture(spark, sf_dir, 56)).select(
+        "doc_id", "dhash"
+    )
+    return simhash_hamming_pairs(
+        fps, fp_col="dhash", max_distance=7, n_bands=8, bits=64
+    )

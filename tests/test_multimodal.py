@@ -204,3 +204,41 @@ def test_decode_image_features_arrow_path(spark):
     assert feats[3].codec == "stub/v1"
     assert feats[4].codec == "wav" and feats[4].n_frames == 4
     assert abs(feats[4].feature_0 - 0.375) < 1e-4
+
+
+def test_dhash_reference_values(spark):
+    """dhash_py vs a hand-computed case + gradient/checker sanity."""
+    import numpy as np
+
+    from aide_spark.operators.multimodal import dhash_py
+
+    # horizontal ramp: every left block mean < right block mean -> no bits
+    w, h = 18, 16
+    ramp = bytes(min(255, x * 14) for _y in range(h) for x in range(w))
+    assert dhash_py(w, h, 1, ramp) == 0
+    # reversed ramp: every comparison true -> all 64 bits set -> signed -1
+    rramp = bytes(min(255, (w - 1 - x) * 14) for _y in range(h) for x in range(w))
+    assert dhash_py(w, h, 1, rramp) == -1
+    # multi-channel: luma average across channels must match the gray twin
+    gray = np.random.RandomState(7).randint(0, 256, size=(h, w), dtype=np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert dhash_py(w, h, 3, rgb.tobytes()) == dhash_py(w, h, 1, gray.tobytes())
+
+
+def test_image_dhash_arrow_path(spark):
+    """Undecodable and too-small payloads yield NULL dhash; real PNGs round-trip."""
+    import pandas as pd
+
+    from aide_spark.operators.image_codec import encode_png
+    from aide_spark.operators.multimodal import dhash_py, image_dhash
+
+    px = bytes((x * 7 + y * 3) % 256 for y in range(16) for x in range(18))
+    good = encode_png(18, 16, 1, px)
+    tiny = encode_png(4, 4, 1, bytes(16))
+    rows = [(0, good), (1, b"not an image"), (2, tiny), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert out[0]["dhash"] == dhash_py(18, 16, 1, px)
+    assert out[0]["width"] == 18 and out[0]["height"] == 16
+    for bad in (1, 2, 3):
+        assert out[bad]["dhash"] is None

@@ -327,3 +327,65 @@ def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
 
     return df.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+AHASH_FRAMES = 65  # 64 adjacent-frame comparisons = 64 bits
+
+
+def ahash_py(samples, n_frames: int = AHASH_FRAMES) -> int | None:
+    """Audio sign-of-delta energy hash — the audio analogue of dHash:
+    split the signal into ``n_frames`` equal frames (remainder dropped),
+    take each frame's RMS energy, emit bit ``i`` = 1 iff
+    ``rms[i] > rms[i+1]``. Robust to uniform gain (any positive scaling
+    preserves the ordering), which is exactly the invariance an audio
+    near-dup fingerprint needs. Returns signed 64-bit, or None when the
+    signal is shorter than ``n_frames`` samples."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.size < n_frames:
+        return None
+    flen = a.size // n_frames
+    frames = a[: flen * n_frames].reshape(n_frames, flen)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    v = 0
+    for i in range(n_frames - 1):
+        if rms[i] > rms[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def audio_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload WAV bytes) → (doc_id, n_samples, ahash BIGINT);
+    NULLs for undecodable or too-short audio. Channels are hashed
+    interleaved (a stereo near-dup keeps its interleaving). Same
+    Arrow-batch shape as the image decoders; fingerprints feed
+    ``dedup.simhash_hamming_pairs(bits=64, n_bands=8)`` exactly like
+    image dHash — the third modality of the dedup family."""
+    import pandas as pd
+
+    from .audio_codec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                dec = decode_wav(bytes(b) if b is not None else b"")
+                if dec is None:
+                    rows.append((int(doc_id), None, None))
+                else:
+                    _rate, _nch, _nf, samples = dec
+                    rows.append(
+                        (int(doc_id), len(samples), ahash_py(samples))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)

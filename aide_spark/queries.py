@@ -4002,3 +4002,70 @@ def multimodal_dhash_pairs(spark, sf_dir):
     return simhash_hamming_pairs(
         fps, fp_col="dhash", max_distance=7, n_bands=8, bits=64
     )
+
+
+# ===========================================================================
+# Audio near-dup fingerprint (sign-of-delta frame energy — audio dHash)
+# ===========================================================================
+
+# frame amplitudes: amp(doc,i) = 1 + ((doc*37 + i*7919) % 32000); 7919 is
+# co-prime with 32000, so adjacent frames jump pseudo-randomly -> ~half the
+# comparison bits set. All-integer, so the oracle compares ints while Spark
+# compares the float RMS values decoded from the same 16-bit PCM (ordering
+# preserved under the exact /32768 scaling).
+
+
+@q(
+    "multimodal_audio_ahash",
+    """
+    WITH a_docs AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+    amps AS (
+      SELECT doc_id, i,
+             1 + ((doc_id * 37 + i * 7919) % 32000) AS amp
+      FROM (SELECT doc_id, unnest(generate_series(0, 64)) AS i FROM a_docs)),
+    bits AS (
+      SELECT a.doc_id, a.i AS k,
+             CASE WHEN a.amp > n.amp THEN 1 ELSE 0 END AS bit
+      FROM amps a JOIN amps n ON a.doc_id = n.doc_id AND n.i = a.i + 1
+      WHERE a.i < 64)
+    SELECT doc_id, CAST(6500 AS INT) AS n_samples,
+           CAST(sum(CASE WHEN k < 63 THEN bit * (CAST(1 AS BIGINT) << k)
+                         ELSE bit * (-9223372036854775808) END)
+                AS BIGINT) AS ahash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_audio_ahash(spark, sf_dir):
+    """Audio near-dup fingerprint over REAL decoded WAV PCM: 65 constant-
+    amplitude frames of 100 samples each, decoded through the from-scratch
+    codec, framed, RMS'd and sign-delta hashed (gain-invariant — the audio
+    analogue of image dHash, third modality of the dedup family). The
+    oracle recomputes the 64 bits from the integer amplitude formula."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.audio_codec import encode_wav
+    from .operators.multimodal import audio_ahash
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                samples = []
+                for i in range(65):
+                    amp = 1 + ((did * 37 + i * 7919) % 32000)
+                    samples.extend([amp / 32768.0] * 100)
+                payloads.append(encode_wav(8000, 1, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return audio_ahash(d.mapInPandas(gen, schema=schema))

@@ -242,3 +242,31 @@ def test_image_dhash_arrow_path(spark):
     assert out[0]["width"] == 18 and out[0]["height"] == 16
     for bad in (1, 2, 3):
         assert out[bad]["dhash"] is None
+
+
+def test_audio_ahash_properties(spark):
+    """Gain invariance, length gates, and the Arrow path."""
+    import numpy as np
+
+    from aide_spark.operators.audio_codec import encode_wav
+    from aide_spark.operators.multimodal import ahash_py, audio_ahash
+
+    rng = np.random.RandomState(3)
+    sig = rng.uniform(-0.9, 0.9, size=650)
+    h = ahash_py(sig)
+    assert h == ahash_py(sig * 0.5)  # uniform gain preserves the hash
+    assert h == ahash_py(list(sig))  # list input equals array input
+    assert ahash_py([0.1] * 64) is None  # shorter than 65 samples
+
+    rows = [
+        (0, encode_wav(8000, 1, list(sig))),
+        (1, b"not audio"),
+        (2, encode_wav(8000, 1, [0.5] * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_ahash(df).collect()}
+    # decode quantizes to 16-bit; hash the quantized twin for equality
+    quant = [max(-32768, min(32767, round(s * 32768.0))) / 32768.0 for s in sig]
+    assert out[0]["ahash"] == ahash_py(quant)
+    assert out[0]["n_samples"] == 650
+    assert out[1]["ahash"] is None and out[2]["ahash"] is None

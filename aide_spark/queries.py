@@ -4069,3 +4069,102 @@ def multimodal_audio_ahash(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return audio_ahash(d.mapInPandas(gen, schema=schema))
+
+
+# ===========================================================================
+# Deterministic stratified sampling (the data-mixing operator)
+# ===========================================================================
+
+_MIX_RATES = {"web": 0.25, "books": 0.75, "code": 1.0}
+
+
+def _mix_sql() -> str:
+    from .operators.sampling import SCALE, oracle_coin_sql
+
+    vals = ", ".join(
+        f"('{s}', {int(round(r * SCALE))})" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'junk'
+                  ELSE (['web','books','code'])[1 + doc_id % 3] END AS src
+      FROM documents),
+    c AS (SELECT doc_id, src, {oracle_coin_sql('doc_id', 'mix-v1')} AS coin
+          FROM d),
+    r AS (SELECT * FROM (VALUES {vals}) AS t(stratum, threshold))
+    SELECT c.doc_id, c.src, c.coin
+    FROM c LEFT JOIN r ON c.src = r.stratum
+    WHERE c.coin < coalesce(r.threshold, 0)
+    """
+
+
+@q("corpus_stratified_sample", None)  # SQL injected below
+def corpus_stratified_sample(spark, sf_dir):
+    """Training-mix assembly: per-stratum deterministic hash-coin sampling
+    (web 25% / books 75% / code 100%; the unmapped 'junk' stratum drops).
+    The coin is the md5-prefix integer — bit-identical in DuckDB, stable
+    under any cluster size and resume, decorrelated across salts. One
+    projection + broadcast rate join, zero shuffle."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    src = F.when(F.col("doc_id") % 7 == 0, F.lit("junk")).otherwise(
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+            (1 + F.col("doc_id") % 3).cast("int"),
+        )
+    )
+    return stratified_sample(
+        d.select("doc_id", src.alias("src")),
+        _MIX_RATES,
+        stratum_col="src",
+        salt="mix-v1",
+    )
+
+
+_fn_mix, _ = QUERIES["corpus_stratified_sample"]
+QUERIES["corpus_stratified_sample"] = (_fn_mix, _mix_sql())
+del _fn_mix
+
+
+@q("dedup_canonical_by_quality", None)  # SQL composed below
+def dedup_canonical_by_quality(spark, sf_dir):
+    """Best-of-cluster selection (the RefinedWeb/CCNet step after near-dup
+    clustering): duplicate clusters from the LSH components, canonical =
+    the member with the highest learned quality score (tie → lowest
+    doc_id, packed as score*1000 - doc_id so ``max_by`` needs only one
+    integer key — DuckDB's arg_max rejects struct keys). One equi-join of
+    the two registered queries + one component-keyed aggregate."""
+    comp = QUERIES["dedup_components"][0](spark, sf_dir)
+    qs = QUERIES["text_quality_model"][0](spark, sf_dir).select(
+        "doc_id", "score_milli"
+    )
+    j = comp.join(qs, "doc_id")
+    packed = F.col("score_milli") * 1000 - F.col("doc_id")
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", packed).alias("canonical_doc"),
+        F.max("score_milli").alias("best_score_milli"),
+    )
+
+
+def _canonical_sql() -> str:
+    comp = QUERIES["dedup_components"][1]
+    qs = QUERIES["text_quality_model"][1]
+    return f"""
+    WITH comp AS (SELECT * FROM ({comp}) t1),
+    qs AS (SELECT doc_id, score_milli FROM ({qs}) t2),
+    j AS (SELECT c.doc_id, c.component, q.score_milli
+          FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max_by(doc_id, score_milli * 1000 - doc_id) AS canonical_doc,
+           CAST(max(score_milli) AS BIGINT) AS best_score_milli
+    FROM j GROUP BY component
+    """
+
+
+_fn_cq, _ = QUERIES["dedup_canonical_by_quality"]
+QUERIES["dedup_canonical_by_quality"] = (_fn_cq, _canonical_sql())
+del _fn_cq

@@ -4168,3 +4168,67 @@ def _canonical_sql() -> str:
 _fn_cq, _ = QUERIES["dedup_canonical_by_quality"]
 QUERIES["dedup_canonical_by_quality"] = (_fn_cq, _canonical_sql())
 del _fn_cq
+
+
+# ===========================================================================
+# Training-sequence packing (corpus -> fixed-length example windows)
+# ===========================================================================
+
+
+def _packing_sql() -> str:
+    from .operators.sampling import oracle_coin_sql
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             1 + (doc_id * 131) % 700 AS n,
+             {oracle_coin_sql('doc_id', 'pack-v1')} AS ok
+      FROM documents WHERE doc_id < 400),
+    g AS (SELECT doc_id, n, ok, CAST(ok % 64 AS INT) AS grp FROM d),
+    loc AS (
+      SELECT doc_id, n, grp,
+             sum(n) OVER (PARTITION BY grp ORDER BY ok, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS lcl
+      FROM g),
+    tot AS (SELECT grp, sum(n) AS gt FROM g GROUP BY grp),
+    bas AS (SELECT grp,
+                   sum(gt) OVER (ORDER BY grp ROWS UNBOUNDED PRECEDING) - gt
+                     AS base
+            FROM tot),
+    pos AS (
+      SELECT l.doc_id, l.n, CAST(b.base + l.lcl AS BIGINT) AS s
+      FROM loc l JOIN bas b ON l.grp = b.grp),
+    ex AS (
+      SELECT doc_id, n, s,
+             unnest(generate_series(s // 1024, (s + n - 1) // 1024))
+               AS window_id
+      FROM pos)
+    SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+      CAST(greatest(s, window_id * 1024) - window_id * 1024 AS BIGINT)
+        AS win_offset,
+      CAST(greatest(s, window_id * 1024) - s AS BIGINT) AS doc_offset,
+      CAST(least(s + n, window_id * 1024 + 1024)
+           - greatest(s, window_id * 1024) AS BIGINT) AS n_toks
+    FROM ex
+    """
+
+
+@q("corpus_pack_sequences", None)  # SQL injected below
+def corpus_pack_sequences(spark, sf_dir):
+    """Pack-with-splitting into 1024-token windows: deterministic md5
+    shuffle order, two-level prefix sum (per-group window + tiny group
+    base table broadcast back), window-span explode. Synthetic per-doc
+    token counts 1 + (doc_id*131) % 700 give docs both smaller and lots
+    larger-than-window; every emitted value is an exact integer."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    sized = d.select(
+        "doc_id", (1 + (F.col("doc_id") * 131) % 700).alias("n_tokens")
+    )
+    return pack_sequences(sized, window_tokens=1024)
+
+
+_fn_pk, _ = QUERIES["corpus_pack_sequences"]
+QUERIES["corpus_pack_sequences"] = (_fn_pk, _packing_sql())
+del _fn_pk

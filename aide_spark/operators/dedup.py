@@ -428,3 +428,70 @@ def incremental_exact_dedup(
         .otherwise(F.lit("new"))
     )
     return joined.select(id_col, "content_hash", status.alias("status"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    probe_texts: list[str],
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile step — Brown et al. 2020
+    appendix C, public method): flag every document sharing at least one
+    word ``n``-gram with an evaluation set, so test data can be removed
+    from the training corpus.
+
+    ``probe_texts`` (the eval set) is driver-side and small by nature —
+    its n-grams become a LITERAL array exploded JVM-side (never
+    ``createDataFrame(list)``) and broadcast. The corpus side explodes
+    its own n-grams (the engine's standard shingle shape) into a
+    broadcast LEFT SEMI join — at 100 TB this is one linear scan with a
+    few-MB hash table on each executor, no shuffle of the corpus at all;
+    the per-doc flag comes from the doc-keyed aggregate.
+
+    Returns ``(id_col, contaminated BOOLEAN, n_hits BIGINT)`` for every
+    input document (n_hits = how many of the doc's n-gram occurrences
+    match — 0 for clean docs). Normalization matches the textmetrics
+    family: lower + collapse non-alnum to single spaces.
+    """
+    from .textmetrics import word_ngrams
+
+    spark = docs.sparkSession
+    import re
+
+    probe_grams = sorted(
+        {
+            " ".join(ws[i : i + n])
+            for t in probe_texts
+            for ws in [re.sub(r"[^a-z0-9]+", " ", t.lower()).split()]
+            for i in range(len(ws) - n + 1)
+        }
+    )
+    if not probe_grams:
+        return docs.select(
+            id_col,
+            F.lit(False).alias("contaminated"),
+            F.lit(0).cast("long").alias("n_hits"),
+        )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(g) for g in probe_grams])).alias("gram")
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    grams = docs.select(
+        id_col, F.explode(word_ngrams(F.split(norm, " "), n)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(probes), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = docs.select(id_col).join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        (n_hits > 0).alias("contaminated"),
+        n_hits.alias("n_hits"),
+    )

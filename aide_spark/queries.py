@@ -4232,3 +4232,57 @@ def corpus_pack_sequences(spark, sf_dir):
 _fn_pk, _ = QUERIES["corpus_pack_sequences"]
 QUERIES["corpus_pack_sequences"] = (_fn_pk, _packing_sql())
 del _fn_pk
+
+
+# ===========================================================================
+# Benchmark decontamination (eval-set n-gram overlap, GPT-3 appendix C)
+# ===========================================================================
+
+_EVAL_PROBES = [
+    "what is the capital city of the northern province and when was it founded",
+    "calculate the sum of the first twelve positive even numbers showing every step",
+    "translate the following sentence into french the weather is pleasant this evening",
+]
+
+
+def _decontam_sql() -> str:
+    hit_counts = {
+        k: len(t.split()) - 8 + 1 for k, t in enumerate(_EVAL_PROBES)
+    }
+    case_hits = " ".join(
+        f"WHEN (doc_id // 9) % 3 = {k} THEN {v}" for k, v in hit_counts.items()
+    )
+    return f"""
+    SELECT doc_id,
+           (doc_id % 9 = 0) AS contaminated,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN (CASE {case_hits} END)
+                     ELSE 0 END AS BIGINT) AS n_hits
+    FROM documents WHERE doc_id < 360
+    """
+
+
+@q("corpus_decontaminate", None)  # SQL injected below
+def corpus_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs with doc_id%9==0 get one of three
+    probe passages appended; the 8-gram broadcast semi-join must flag
+    exactly those, with n_hits = passage_words - 7 (the passage's own
+    8-gram count — soup/passage boundary grams never match). The probe
+    table is a JVM literal broadcast; the corpus side never shuffles."""
+    from .operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 360)
+    probe = F.element_at(
+        F.array(*[F.lit(t) for t in _EVAL_PROBES]),
+        (1 + (F.col("doc_id") / 9).cast("long") % 3).cast("int"),
+    )
+    text = F.when(
+        F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" "), probe)
+    ).otherwise(F.col("text"))
+    return decontaminate(
+        d.select("doc_id", text.alias("text")), _EVAL_PROBES, n=8
+    )
+
+
+_fn_dc, _ = QUERIES["corpus_decontaminate"]
+QUERIES["corpus_decontaminate"] = (_fn_dc, _decontam_sql())
+del _fn_dc

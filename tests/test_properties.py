@@ -182,3 +182,40 @@ def test_incremental_exact_dedup_empty_store(spark):
         for r in incremental_exact_dedup(batch, store).collect()
     }
     assert out == {1: "new", 2: "dup_in_batch", 3: "new"}
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from aide_spark.operators.dedup import decontaminate
+
+    probes = ["alpha beta gamma delta epsilon zeta eta theta iota"]
+    rows = [
+        (0, "clean words only here nothing shared at all with anything"),
+        # contains probe 8-gram starting at "beta"
+        (1, "prefix beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),  # = probe
+        (3, "Alpha BETA gamma, delta epsilon zeta eta theta iota!"),  # normalization
+        (4, None),
+        (5, "alpha beta gamma"),  # shorter than n
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            probes,
+            n=8,
+        ).collect()
+    }
+    assert len(out) == 6
+    assert not out[0]["contaminated"] and out[0]["n_hits"] == 0
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 2  # both 8-grams
+    assert out[3]["contaminated"] and out[3]["n_hits"] == 2
+    assert not out[4]["contaminated"] and not out[5]["contaminated"]
+
+
+def test_decontaminate_empty_probes(spark):
+    from aide_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame([(0, "any text")], "doc_id long, text string")
+    out = decontaminate(docs, [], n=8).collect()
+    assert out[0]["contaminated"] is False and out[0]["n_hits"] == 0

@@ -296,12 +296,26 @@ def connected_components(
     # otherwise re-execute on EVERY round's join — persist it for the loop
     edges.persist()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    # `cur` tracks the frame whose plan is ACTUALLY cached each round —
-    # unpersist must be called on that exact frame: unpersisting a select()
-    # of it is a silent no-op (uncacheQuery matches on sameResult), which is
-    # how every round's cache leaked before r5
-    cur = labels
-    cur.persist()
+
+    # --- lineage management (the round-4 OOM lesson) -----------------------
+    # Each round references `labels` THREE times (neighbor aggregate, the
+    # stepped base, and the pointer-jump self-join), so building rounds on
+    # raw lineage grows the LOGICAL plan ~4^rounds — caching does not help,
+    # because Spark still stringifies the full analyzed plan per action
+    # (SQLExecutionStart physicalPlanDescription), which OOMed the driver in
+    # StringConcat on graphs needing >4 rounds. localCheckpoint truncates
+    # the plan to a LogicalRDD leaf every round (the GraphFrames recipe; on
+    # a real cluster prefer reliable checkpoint(dir) — localCheckpoint dies
+    # with an executor). The checkpointed block of the PREVIOUS round is
+    # released eagerly via the LogicalRDD's backing rdd — unpersisting a
+    # derived frame would be the silent no-op documented below.
+    def _free_ckpt(df) -> None:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # pragma: no cover — best-effort release
+            pass
+
+    prev_ckpt = None
     changed = 0
     for _ in range(max_iterations):
         prop = (
@@ -327,11 +341,12 @@ def connected_components(
             F.least(F.col("_sl"), F.coalesce("_pl", "_sl")).alias("label"),
             "_old",
         )
-        new_labels.persist()
-        changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
-        cur.unpersist()  # previous round's cache; new_labels is materialized
-        cur = new_labels
-        labels = new_labels.select("node", "label")
+        ck = new_labels.localCheckpoint(eager=True)
+        changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
+        if prev_ckpt is not None:
+            _free_ckpt(prev_ckpt)
+        prev_ckpt = ck
+        labels = ck.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -341,19 +356,21 @@ def connected_components(
             "(pair-graph diameter exceeds max_iterations); labels are partial"
         )
         if strict:
-            cur.unpersist()
+            if prev_ckpt is not None:
+                _free_ckpt(prev_ckpt)
             raise RuntimeError(msg)
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # hand the caller a frame whose OWN plan is the cached one, so the
     # caller's .unpersist() actually frees it: cache the aliased projection,
-    # materialize it with one narrow pass over the still-cached last round,
-    # then drop the loop's cache
+    # materialize it with one narrow pass over the last round's checkpoint,
+    # then release the loop's checkpointed block
     result = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
     result.persist()
     result.count()
-    cur.unpersist()
+    if prev_ckpt is not None:
+        _free_ckpt(prev_ckpt)
     return result
 
 

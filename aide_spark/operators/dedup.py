@@ -45,8 +45,33 @@ def minhash_band_table(
     """
     assert n_hashes % n_bands == 0
     rows = n_hashes // n_bands
-    sh = docs.select(
-        id_col, F.explode(H.word_shingles(F.col(text_col), shingle_n)).alias("s")
+    # Shingle explode in the codegen-friendly form (r6, guide §4.1): the
+    # previous `explode(word_shingles(...))` was one interpreted
+    # higher-order expression (sequence → transform → slice → array_join)
+    # that re-evaluated `split(lower(text))` PER LAMBDA ELEMENT and ran in
+    # Catalyst's interpreted eval inside the Generate (thread dumps showed
+    # Greatest.eval/foldLeft frames; 9-13 s cold at sf0.1 vs 0.7 s warm).
+    # Split once per row, explode the position range (codegen'd Generate),
+    # and assemble each shingle with get()+concat_ws — all codegen.
+    # Duplicates are NOT removed (word_shingles array_distinct's them):
+    # min() aggregates are duplicate-insensitive, so signatures — and the
+    # band keys and the DuckDB-oracle pairs — are bit-identical.
+    toks = docs.select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_tk"))
+    idx = toks.select(
+        id_col,
+        "_tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - shingle_n + 1, F.lit(1)))
+        ).alias("_i"),
+    )
+    # get() is 0-based and NULL out-of-range; concat_ws skips NULLs — for a
+    # doc with fewer than shingle_n tokens this yields the same short
+    # shingle as array_join(slice(toks, 1, n)).
+    sh = idx.select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.get("_tk", F.col("_i") + (k - 1)) for k in range(shingle_n)]
+        ).alias("s"),
     )
     sigs = sh.groupBy(id_col).agg(
         *[
@@ -111,19 +136,16 @@ def lsh_candidate_pairs(
         .groupBy("band", "sub")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
     )
-    ds = F.col("ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,  # 2-arg lambda: second variable IS the array index
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
+    # Pair expansion as two chained codegen Generates (r6, guide §4.1):
+    # posexplode anchors d1 at position i, the second explode emits every
+    # later element — identical pairs to the previous nested
+    # flatten/transform/slice lambda, which ran interpreted per bucket row.
+    anchored = buckets.select("ds", F.posexplode("ds").alias("_i", "d1"))
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        anchored.select(
+            "d1",
+            F.explode(F.slice(F.col("ds"), F.col("_i") + 2, F.size("ds"))).alias("d2"),
+        )
         .distinct()
     )
 
@@ -217,24 +239,18 @@ def simhash_hamming_pairs(
             ).alias("ds")
         )
     )
-    ds = F.col("ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,  # 2-arg lambda: second variable IS the array index
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    # Same two-Generate pair expansion as lsh_candidate_pairs (r6): the
+    # nested flatten/transform/slice lambda was interpreted per bucket row;
+    # posexplode + slice-explode is whole-stage codegen and yields the
+    # identical pair set.
+    anchored = buckets.select("ds", F.posexplode("ds").alias("_i", "p1"))
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.p1.id").alias("d1"),
-            F.col("p.p2.id").alias("d2"),
-            F.col("p.p1.fp").alias("_f1"),
-            F.col("p.p2.fp").alias("_f2"),
+        anchored.select(
+            F.col("p1.id").alias("d1"),
+            F.col("p1.fp").alias("_f1"),
+            F.explode(F.slice(F.col("ds"), F.col("_i") + 2, F.size("ds"))).alias("p2"),
         )
+        .select("d1", F.col("p2.id").alias("d2"), "_f1", F.col("p2.fp").alias("_f2"))
         .distinct()
     )
     ham = F.bit_count(F.col("_f1").bitwiseXOR(F.col("_f2"))).cast("long")

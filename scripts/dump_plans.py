@@ -1,82 +1,36 @@
 #!/usr/bin/env python
-"""Dump formatted physical plans of the flagship queries + the extraction
-pipeline to PLANS.md — the inspectable evidence that the plans are the ones
-we designed for (pushdown, pruning, broadcast, exchange reuse)."""
+"""Dump .explain('formatted') for named queries to plans/r06/<q>_<tag>.txt."""
 
 from __future__ import annotations
 
-import io
 import os
 import sys
-from contextlib import redirect_stdout
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ["PYTHONPATH"] = REPO
-
-SHOW = [
-    ("q01_pricing_summary", "filtered scan → partial agg (pushdown + pruning)"),
-    ("q02_join_revenue_by_nation", "broadcast dimension joins"),
-    ("q03_topk_orders", "TakeOrderedAndProject top-k"),
-    ("p5_segmentation_window", "sessionization window"),
-    ("p10_lag_classification", "lag classifier window"),
-    ("dedup_minhash_lsh", "minhash aggregates + band grouping"),
-    ("dedup_simhash_hamming", "pigeonhole band equi-join + popcount verify"),
-    ("dedup_components", "LSH pairs → min-label propagation fixpoint"),
-    ("ann_cosine_topk", "broadcast query vector + fold"),
-    ("text_lang_id_ngram", "trigram explode → broadcast profile join → argmax"),
-    ("html_main_content", "tokenize → ONE exchange reused by rules + offsets"),
-    ("pdf_reading_order", "bin explode gap sweep → column assign → row_number"),
-    ("e2e_union_extract", "construct → regex parse → positional aggregates"),
-    ("dedup_paragraph_ccnet", "paragraph key agg (partial min) → join-back → reassembly"),
-    ("text_quality_model", "feature explode → broadcast weight join → doc agg"),
-    ("text_bpe_token_count", "distinct-token merge chain → count join-back"),
-    ("corpus_filter_stack", "three component queries joined on doc_id"),
-    ("multimodal_dhash_pairs", "image decode → dHash → banded Hamming join"),
-]
-
-
-def fmt(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    from bench import build_spark
 
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = build_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
-    from aide_spark.generator import local_corpus_df
-    from aide_spark.plans import pipeline
     from aide_spark.queries import QUERIES
 
-    out = ["# PLANS — formatted physical plans (sf0.001 shapes)\n"]
-    out.append(
-        "Generated by `python scripts/dump_plans.py`. What to look for: "
-        "`PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin` for "
-        "dimensions, `TakeOrderedAndProject` for top-k, a single "
-        "`Exchange hashpartitioning(doc_id…)` reused by the stacked windows "
-        "of each parser branch, and `WholeStageCodegen` spans covering the "
-        "expression work.\n"
-    )
-    for name, why in SHOW:
-        df = QUERIES[name][0](spark, "/root/testdata/sf0.001")
-        out.append(f"\n## {name} — {why}\n\n```\n{fmt(df)}```\n")
-
-    docs = local_corpus_df(spark, 24)
-    spans = pipeline.run(docs)["spans_out"]
-    out.append(f"\n## extraction pipeline spans_out\n\n```\n{fmt(spans)}```\n")
-
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
-        f.write("".join(out))
-    print("wrote PLANS.md")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir = os.path.join(REPO, "plans", "r06")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = QUERIES[name][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        with open(os.path.join(outdir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(plan)
+        print(name, "ok", flush=True)
     spark.stop()
 
 

@@ -305,12 +305,29 @@ def connected_components(
     done — pinned by tests/test_plans.py (no persistent RDDs remain after a
     components round-trip + caller unpersist).
     """
+    # persist the PAIR table first: the symmetric edge union references it
+    # twice, so materializing edges from raw lineage would execute the whole
+    # upstream DAG (LSH band build + pair expansion) twice (r6 fix)
+    pairs.persist()
+    n_pairs = pairs.count()
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
-    # the edge table's upstream DAG (LSH band build + pair expansion) would
-    # otherwise re-execute on EVERY round's join — persist it for the loop
+    # the edge table would otherwise re-execute on EVERY round's join —
+    # persist it for the loop
     edges.persist()
+    spark = pairs.sparkSession
+    # Scale-adaptive loop parallelism (guide §2.2/§2.5: partitions sized by
+    # data volume, not a constant): every round is 3 equi-joins + 1 aggregate
+    # over the label table, so the session-wide shuffle width — sized for the
+    # corpus scan — wastes whole stages of empty tasks when the pair graph is
+    # small (a 300-node graph ran 32-task exchanges per round), and at crawl
+    # scale the SAME formula widens the loop with the edge count. The bench's
+    # AQE partition coalescing is off, so derive the width from the measured
+    # edge count directly: ~500k edges per task, capped by the session
+    # setting (the cluster-sized upper bound), floored at 1.
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(conf_parts, -(-(n_pairs * 2) // 500_000)))
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
 
     # --- lineage management (the round-4 OOM lesson) -----------------------
@@ -333,39 +350,48 @@ def connected_components(
 
     prev_ckpt = None
     changed = 0
-    for _ in range(max_iterations):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("_nbr"))
-        )
-        stepped = labels.join(prop, "node", "left").select(
-            "node",
-            F.least("label", "_nbr").alias("_sl"),
-            F.col("label").alias("_old"),
-        )
-        # pointer jump: shortcut to the label's own label (path compression;
-        # labels are node ids, so the self-join hits every row — left join
-        # only guards a label outside the node universe)
-        lk = stepped.select(
-            F.col("node").alias("_pn"), F.col("_sl").alias("_pl")
-        )
-        new_labels = stepped.join(
-            lk, stepped["_sl"] == lk["_pn"], "left"
-        ).select(
-            "node",
-            F.least(F.col("_sl"), F.coalesce("_pl", "_sl")).alias("label"),
-            "_old",
-        )
-        ck = new_labels.localCheckpoint(eager=True)
-        changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
-        if prev_ckpt is not None:
-            _free_ckpt(prev_ckpt)
-        prev_ckpt = ck
-        labels = ck.select("node", "label")
-        if changed == 0:
-            break
+    # the width override is scoped to the loop and restored in the finally
+    # below; the bench/driver session runs queries sequentially, so the
+    # temporary session setting cannot leak into a concurrent query
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        for _ in range(max_iterations):
+            prop = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("_nbr"))
+            )
+            stepped = labels.join(prop, "node", "left").select(
+                "node",
+                F.least("label", "_nbr").alias("_sl"),
+                F.col("label").alias("_old"),
+            )
+            # pointer jump: shortcut to the label's own label (path
+            # compression; labels are node ids, so the self-join hits every
+            # row — left join only guards a label outside the node universe)
+            lk = stepped.select(
+                F.col("node").alias("_pn"), F.col("_sl").alias("_pl")
+            )
+            new_labels = stepped.join(
+                lk, stepped["_sl"] == lk["_pn"], "left"
+            ).select(
+                "node",
+                F.least(F.col("_sl"), F.coalesce("_pl", "_sl")).alias("label"),
+                "_old",
+            )
+            ck = new_labels.localCheckpoint(eager=True)
+            changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
+            if prev_ckpt is not None:
+                _free_ckpt(prev_ckpt)
+            prev_ckpt = ck
+            labels = ck.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     edges.unpersist()
+    pairs.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iterations} rounds "

@@ -165,19 +165,17 @@ def normalize_text(col) -> Column:
 
 
 def profiles_df(spark: SparkSession) -> DataFrame:
-    """Profile constants as a DataFrame, built as a LITERAL array explode —
-    not ``createDataFrame(list)``, whose python-RDD scan cold-starts a
-    python worker per task just to deserialize the rows (the same pitfall
-    measured in operators/skew.py); this form stays entirely JVM-side."""
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(g).alias("g"), F.lit(lang).alias("lang"), F.lit(w).alias("w")
-            )
-            for g, lang, w in PROFILES
-        ]
-    )
-    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+    """Profile constants as a DataFrame, built with ONE ``spark.sql`` VALUES
+    statement — a pure-JVM LocalRelation. Not ``createDataFrame(list)``,
+    whose python-RDD scan cold-starts a python worker per task just to
+    deserialize the rows (the same pitfall measured in operators/skew.py);
+    and not a per-element ``F.struct(F.lit(...))`` literal array (the r5
+    form), whose 600 structs cost ~4 s of py4j round trips at DataFrame
+    CONSTRUCTION time — measured in OPTIMIZATION_r06.md; the VALUES parse
+    is one JVM call. Trigrams are ``[a-z ]`` only by construction, safe to
+    single-quote."""
+    values = ", ".join(f"('{g}', '{lang}', {w})" for g, lang, w in PROFILES)
+    return spark.sql(f"SELECT col1 AS g, col2 AS lang, col3 AS w FROM VALUES {values}")
 
 
 def classify_language(
@@ -188,18 +186,21 @@ def classify_language(
     shape — one broadcast join + one doc-keyed groupBy."""
     spark = docs.sparkSession
     norm = docs.select(id_col, normalize_text(F.col(text_col)).alias("t"))
-    grams = norm.select(
+    # explode a position range and substring per position (whole-stage
+    # codegen) instead of materializing a per-doc trigram ARRAY through an
+    # interpreted transform() lambda (r6; same fix as the MinHash shingle
+    # explode — identical rows). The when-guard keeps sequence() ascending:
+    # sequence(1, 0) would emit a DESCENDING [1, 0], not an empty range.
+    pos = norm.select(
         id_col,
+        "t",
         F.explode(
             F.when(
-                F.length("t") >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - 2),
-                    lambda i: F.substring(F.col("t"), i, F.lit(3)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+                F.length("t") >= 3, F.sequence(F.lit(1), F.length("t") - 2)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
     )
+    grams = pos.select(id_col, F.substring(F.col("t"), F.col("_i"), F.lit(3)).alias("g"))
     scored = grams.join(F.broadcast(profiles_df(spark)), "g")
     per = scored.groupBy(id_col).agg(
         *[

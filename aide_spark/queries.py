@@ -2951,12 +2951,21 @@ def web_domain_outdegree(spark, sf_dir):
         (F.col("doc_id") % 5).cast("string"),
         F.lit(".co.uk/dir/page.html"),
     )
-    resolved = links.select(
-        canonicalize_url(resolve_href(base, F.col("href"))).alias("u")
+    # stage each URL transform behind its own projection (r6): built inline,
+    # canonicalize_url referenced the whole resolve_href subtree ~8 times
+    # and registrable_domain(url_host(...)) multiplied it again (~30 copies
+    # of the regex/fold tree in one expression — seconds of construction
+    # and duplicated evaluation). Multi-referenced non-cheap aliases are
+    # not re-inlined by CollapseProject, so each stage evaluates once.
+    resolved = (
+        links.select(resolve_href(base, F.col("href")).alias("r"))
+        .select(canonicalize_url(F.col("r")).alias("u"))
+        .select(url_host(F.col("u")).alias("h"))
+        .select(registrable_domain(F.col("h")).alias("domain"))
     )
-    return resolved.groupBy(
-        registrable_domain(url_host(F.col("u"))).alias("domain")
-    ).agg(F.count("*").cast("long").alias("n_links"))
+    return resolved.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
 
 
 _ROBOTS_FIXTURE = [

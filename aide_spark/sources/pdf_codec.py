@@ -1813,13 +1813,13 @@ def extract_pdf_images(
             elif bits == 1 and cs == "gray":
                 stride = (w + 7) // 8
                 if len(data) >= stride * h:
-                    px = bytearray(w * h)
-                    for y in range(h):
-                        base = y * stride
-                        for x in range(w):
-                            if data[base + (x >> 3)] & (0x80 >> (x & 7)):
-                                px[y * w + x] = 255
-                    row["pixels"] = bytes(px)
+                    import numpy as _np
+
+                    packed = _np.frombuffer(
+                        bytes(data[: stride * h]), dtype=_np.uint8
+                    ).reshape(h, stride)
+                    px = _np.unpackbits(packed, axis=1)[:, :w] * _np.uint8(255)
+                    row["pixels"] = px.tobytes()
             elif bits == 8:
                 need = w * h * (3 if cs == "rgb" else 1)
                 if len(data) >= need:

@@ -23,6 +23,42 @@ Layout:
 __version__ = "0.1.0"
 
 
+def _raise_codegen_cache_limit() -> None:
+    """Size the JVM codegen class cache to this engine's plan complexity.
+
+    One extraction-pipeline run generates ~245 distinct codegen classes
+    (three parser branches × windows/filters/projections + assembly);
+    Spark's compiled-class cache holds only 100 entries
+    (``spark.sql.codegen.cache.maxEntries``, a static conf), so every run
+    evicts and re-Janino-compiles the full set — thread dumps showed task
+    threads serialized behind ``CodeGenerator.compile`` KeyLocks, and the
+    codegen metrics recorded 245 fresh compilations per run (~2.4 s of a
+    7.6 s pipeline execution; 0 compilations and 5.2 s once sized). This
+    is not a local-mode artifact: every executor JVM of a cluster pays the
+    same per-stage recompiles. The conf is static, so it cannot be set
+    post-session via the public API; the engine sizes it on the session's
+    own SQLConf at import, BEFORE the first code generation builds the
+    cache (the cache captures the limit lazily at first use). Harmless
+    no-op if codegen already ran or the internal accessor is unavailable.
+    Parameterised via ``SPARK_GRAFT_CODEGEN_CACHE`` (default 2000 —
+    comfortably above the engine's class count, a few hundred KB of
+    metaspace per JVM)."""
+    try:
+        import os as _os
+
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return
+        n = int(_os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+        jconf = s._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        if jconf.codegenCacheMaxEntries() < n:
+            jconf.setConfString("spark.sql.codegen.cache.maxEntries", str(n))
+    except Exception:  # pragma: no cover — no session / API drift
+        pass
+
+
 def _warm_collation_runtime() -> None:
     """Force Spark 4's one-time ICU case-mapping class init at import.
 
@@ -82,5 +118,6 @@ def _warm_python_workers() -> None:
         pass
 
 
+_raise_codegen_cache_limit()
 _warm_collation_runtime()
 _warm_python_workers()

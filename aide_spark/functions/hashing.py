@@ -91,18 +91,20 @@ def simhash32_table(docs, text_col: str = "text", id_col: str = "doc_id"):
     expression form returns for null text."""
     toks = docs.select(id_col, F.explode_outer(tokens(F.col(text_col))).alias("t"))
     hashed = toks.select(id_col, token_hash32(F.col("t")).alias("hv"))
+    # r6: the 32 per-bit aggregates and the fingerprint CASE chain are built
+    # as F.expr SQL text — the per-bit Column construction cost ~1 s of py4j
+    # round trips per call; identical expressions (same coercions: hv is
+    # BIGINT, so & and the *2-1 stay BIGINT; an all-NULL doc sums to NULL
+    # per bit and the CASE's NULL>0 branch yields fingerprint 0, as before)
     sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                f"b{b}"
-            )
+            F.expr(f"sum((shiftright(hv, {b}) & 1) * 2 - 1)").alias(f"b{b}")
             for b in range(32)
         ]
     )
-    fp = None
-    for b in range(32):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return sums.select(id_col, fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return sums.select(id_col, F.expr(fp_sql).alias("simhash"))

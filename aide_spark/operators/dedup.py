@@ -380,8 +380,14 @@ def connected_components(
                 F.least(F.col("_sl"), F.coalesce("_pl", "_sl")).alias("label"),
                 "_old",
             )
-            ck = new_labels.localCheckpoint(eager=True)
-            changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
+            # lazy checkpoint + FULL count in one job: the count computes
+            # every partition (materializing the checkpoint completely —
+            # a limit(1) probe could leave partitions uncheckpointed whose
+            # later recompute would chase the freed previous round) and is
+            # itself the convergence signal, replacing the separate eager
+            # materialization job per round (r6)
+            ck = new_labels.localCheckpoint(eager=False)
+            changed = ck.where(F.col("label") != F.col("_old")).count()
             if prev_ckpt is not None:
                 _free_ckpt(prev_ckpt)
             prev_ckpt = ck

@@ -186,11 +186,11 @@ def run_with_resume(
     )
     n_docs, n_done, n_spans = int(lin["n_docs"]), int(lin["n_done"]), int(n_spans)
     # every staged table is on disk and the stats are collected: release the
-    # fan-out caches so a long-lived driver looping over batches does not
-    # accumulate one transactions+metadata cache per batch (r4 VERDICT #4)
-    for key in ("transactions", "metadata"):
-        if key in out:
-            out[key].unpersist()
+    # fan-out materialization so a long-lived driver looping over batches
+    # does not accumulate one transactions+metadata store per batch (r4
+    # VERDICT #4; r6 — the frames are localCheckpoint-backed, which a bare
+    # unpersist() would not free)
+    pipeline.release(out)
     store.commit(batch_id, {"docs": n_docs, "spans": n_spans})
     return {
         "batch_id": batch_id,

@@ -232,6 +232,28 @@ def results_envelope(parsed: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def release(out: dict[str, DataFrame]) -> None:
+    """Free the materialization blocks of a ``run(persist=True)`` result.
+
+    The parsed transactions/metadata frames are backed by a lazy
+    ``localCheckpoint`` (see :func:`parse_all`); ``DataFrame.unpersist()``
+    does not release checkpoint blocks, so long-lived drivers looping over
+    batches call this once every staged output is on disk (the r4
+    cache-ownership rule). Safe on non-persisted results (no-op). Frames
+    never released are still freed by the ContextCleaner when garbage
+    collected — this makes the release deterministic, not merely eventual.
+    """
+    for key in ("transactions", "metadata"):
+        df = out.get(key)
+        if df is None:
+            continue
+        df.unpersist()
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # non-checkpointed frame (persist=False path)
+            pass
+
+
 def run(docs: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
     """Full pipeline: returns every output table of the engine.
 

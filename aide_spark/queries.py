@@ -1510,14 +1510,55 @@ def e2e_scanned_ocr_extract(spark, sf_dir):
         from .operators.scanned import render_scanned_pdf
         from .sources.pdf_codec import extract_pdf_images
 
+        def per_line(ln):
+            imgs = extract_pdf_images(render_scanned_pdf([ln]))
+            got = (
+                ocr_gray(imgs[0]["width"], imgs[0]["height"], imgs[0]["pixels"])
+                if imgs and imgs[0]["pixels"]
+                else []
+            )
+            return got[0] if got else ""
+
+        # r6: amortize the PDF encode/parse and the OCR grid fit over a
+        # whole page of lines instead of one PDF per line. Each 40-line
+        # page is prefixed with a sentinel line ("0"), so the page always
+        # has ink in its first glyph row and the auto-detected grid origin
+        # is the true top-left; recognition is then per-cell, so the
+        # recovered lines are the same strings per-line OCR yields. The
+        # sentinel is verified on every page and ANY mismatch (or a page
+        # count surprise) falls back to the per-line roundtrip for that
+        # batch — the batched path is an amortization, never a semantic
+        # change (the oracle pins byte-exact recovery either way).
+        MARK = "0"
+        PAGE = 40  # render_scanned_pdf's page_size
+
+        def batched(lns: list[str]) -> list[str] | None:
+            chunks = [lns[i : i + PAGE - 1] for i in range(0, len(lns), PAGE - 1)]
+            paged: list[str] = []
+            for ch in chunks:
+                paged.append(MARK)
+                paged.extend(ch)
+            imgs = extract_pdf_images(render_scanned_pdf(paged, page_size=PAGE))
+            if not imgs or len(imgs) != len(chunks):
+                return None
+            out: list[str] = []
+            for img, ch in zip(imgs, chunks):
+                if not img["pixels"]:
+                    return None
+                got = ocr_gray(img["width"], img["height"], img["pixels"])
+                if not got or got[0] != MARK:
+                    return None
+                body = got[1:]
+                if len(body) > len(ch):
+                    return None
+                out.extend(body + [""] * (len(ch) - len(body)))
+            return out
+
         for pdf in it:
-            recovered = []
-            for ln in pdf["line"]:
-                imgs = extract_pdf_images(render_scanned_pdf([ln]))
-                got = ocr_gray(
-                    imgs[0]["width"], imgs[0]["height"], imgs[0]["pixels"]
-                ) if imgs and imgs[0]["pixels"] else []
-                recovered.append(got[0] if got else "")
+            lns = ["" if ln is None else str(ln) for ln in pdf["line"]]
+            recovered = batched(lns) if lns else []
+            if recovered is None:
+                recovered = [per_line(ln) for ln in lns]
             yield pd.DataFrame(
                 {"account": pdf["account"], "line": recovered, "s_no": pdf["s_no"]}
             )

@@ -34,9 +34,21 @@ AMT_RE = r"(\d+\.?\d*)\s*\((Dr|Cr)\)"                          # union:287,317
 
 def transactions(lines: DataFrame) -> DataFrame:
     """(doc_id, page, off, line) → TRANSACTIONS_OUT rows for Union docs."""
-    is_start = F.col("line").rlike(START_RE)
+    # r6: stage the per-line regex probes ONCE behind a projection — built
+    # inline, rlike(START_RE) was re-matched three times per line (segment
+    # sum, stopper test, include test) and the amount extract once more;
+    # staged columns are matched once and the windows read booleans
+    is_start = F.col("_is_start")
+    staged = lines.select(
+        "*",
+        F.col("line").rlike(START_RE).alias("_is_start"),
+        F.col("line").rlike(NEXT_RE).alias("_is_next"),
+        F.size(F.regexp_extract_all(F.col("line"), F.lit(AMT_RE), 0)).alias(
+            "_amt_cnt"
+        ),
+    )
     w_page = Window.partitionBy("doc_id", "page").orderBy("off")
-    df = lines.withColumn(
+    df = staged.withColumn(
         "seg", F.sum(is_start.cast("int")).over(w_page)
     ).where(F.col("seg") >= 1)
 
@@ -46,17 +58,16 @@ def transactions(lines: DataFrame) -> DataFrame:
     # counters over the segment reproduce the loop exactly.
     w_seg = Window.partitionBy("doc_id", "page", "seg").orderBy("off")
     before = w_seg.rowsBetween(Window.unboundedPreceding, -1)
-    amt_cnt = F.size(F.regexp_extract_all(F.col("line"), F.lit(AMT_RE), 0))
-    cum_amt = F.coalesce(F.sum(amt_cnt).over(before), F.lit(0))
+    cum_amt = F.coalesce(F.sum("_amt_cnt").over(before), F.lit(0))
     cum_empty = F.coalesce(
         F.sum((F.col("line") == "").cast("int")).over(before), F.lit(0)
     )
     # the combine-stop regex (NEXT_RE, union:294) is LOOSER than the start
     # regex: a digits+date line without a transaction id stops the combine
     # yet starts no segment — it and everything after it stay excluded
-    is_stopper = ~F.col("line").rlike(START_RE) & F.col("line").rlike(NEXT_RE)
+    is_stopper = ~is_start & F.col("_is_next")
     cum_stop = F.coalesce(F.sum(is_stopper.cast("int")).over(before), F.lit(0))
-    include = F.col("line").rlike(START_RE) | (
+    include = is_start | (
         (F.col("line") != "")
         & ~is_stopper
         & (cum_amt < 2)

@@ -305,17 +305,22 @@ def connected_components(
     done — pinned by tests/test_plans.py (no persistent RDDs remain after a
     components round-trip + caller unpersist).
     """
-    # persist the PAIR table first: the symmetric edge union references it
-    # twice, so materializing edges from raw lineage would execute the whole
-    # upstream DAG (LSH band build + pair expansion) twice (r6 fix)
-    pairs.persist()
-    n_pairs = pairs.count()
-    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).union(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    )
+    # symmetric edges via ONE explode per pair row (r6): the r5 self-union
+    # referenced the pair table twice, so materializing edges executed the
+    # whole upstream DAG (LSH band build + pair expansion) twice
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # the edge table would otherwise re-execute on EVERY round's join —
-    # persist it for the loop
+    # persist it for the loop; the materializing count also feeds the
+    # loop-width derivation below (one job, LSH executed once)
     edges.persist()
+    n_pairs = edges.count() // 2
     spark = pairs.sparkSession
     # Scale-adaptive loop parallelism (guide §2.2/§2.5: partitions sized by
     # data volume, not a constant): every round is 3 equi-joins + 1 aggregate
@@ -397,7 +402,6 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     edges.unpersist()
-    pairs.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iterations} rounds "

@@ -42,6 +42,132 @@ TWO_LABEL_SUFFIXES = [
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref|igshid)="
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins (r6): the Column builders below construct large expression
+# trees through py4j — ~1 s per call for the staged resolve→canonicalize→
+# host→domain chain, paid INSIDE the per-query clock. These emit the same
+# expressions as SQL text for a single F.expr parse; inputs are plain column
+# names, and equivalence with the Column builders is pinned by
+# tests/test_webpipeline.py::test_weblinks_sql_twins_match_columns.
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    """Spark SQL string literal (backslash escapes are ACTIVE in SQL text,
+    so regex backslashes must double)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def canonicalize_url_sql(u: str) -> str:
+    """SQL twin of :func:`canonicalize_url`; ``u`` is a column name."""
+    sch = _sql_str(_SCHEME_RE)
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, {sch}, 1))"
+    after = f"regexp_replace({nofrag}, {sch}, '')"
+    hostport = f"regexp_extract({after}, '^([^/?]*)', 1)"
+    strip_port = _sql_str(r":\d+$")
+    grab_port = _sql_str(r":(\d+)$")
+    host = f"lower(regexp_replace({hostport}, {strip_port}, ''))"
+    port = f"regexp_extract({hostport}, {grab_port}, 1)"
+    keep_port = (
+        f"({port} != '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    pathq = f"regexp_replace({after}, '^[^/?]*', '')"
+    path0 = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    grab_query = _sql_str(r"\?(.*)$")
+    query = f"regexp_extract({pathq}, {grab_query}, 1)"
+    params = (
+        f"array_sort(filter(split({query}, '&'), "
+        f"p -> p != '' AND NOT (p RLIKE {_sql_str(TRACKING_PARAM_RE)})))"
+    )
+    canon = (
+        f"concat({scheme}, '://', {host}, "
+        f"CASE WHEN {keep_port} THEN concat(':', {port}) ELSE '' END, {path}, "
+        f"CASE WHEN size({params}) > 0 "
+        f"THEN concat('?', array_join({params}, '&')) ELSE '' END)"
+    )
+    return f"CASE WHEN {u} RLIKE {sch} THEN {canon} ELSE {u} END"
+
+
+def url_host_sql(u: str) -> str:
+    """SQL twin of :func:`url_host`."""
+    sch = _sql_str(_SCHEME_RE)
+    after = f"regexp_replace(regexp_replace({u}, '#.*$', ''), {sch}, '')"
+    strip_port = _sql_str(r":\d+$")
+    host = (
+        f"lower(regexp_replace(regexp_extract({after}, '^([^/?]*)', 1), "
+        f"{strip_port}, ''))"
+    )
+    return f"CASE WHEN {u} RLIKE {sch} THEN {host} ELSE '' END"
+
+
+def registrable_domain_sql(h: str) -> str:
+    """SQL twin of :func:`registrable_domain`."""
+    dot = _sql_str(r"\.")
+    labels = f"split(lower({h}), {dot})"
+    n = f"size({labels})"
+    last2 = f"array_join(slice({labels}, {n} - 1, 2), '.')"
+    last3 = f"array_join(slice({labels}, {n} - 2, 3), '.')"
+    suffixes = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
+    return (
+        f"CASE WHEN {n} <= 1 THEN lower({h}) "
+        f"WHEN {n} >= 3 AND {last2} IN ({suffixes}) THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+def _remove_dot_segments_sql(p: str) -> str:
+    """SQL twin of :func:`remove_dot_segments`; ``p`` is a SQL expression."""
+    segs = f"split({p}, '/')"
+    folded = (
+        f"aggregate({segs}, CAST(array() AS ARRAY<STRING>), "
+        "(acc, s) -> CASE WHEN s = '..' "
+        "THEN slice(acc, 1, greatest(size(acc) - 1, 0)) "
+        "WHEN s = '.' OR s = '' THEN acc "
+        "ELSE concat(acc, array(s)) END)"
+    )
+    trail = (
+        f"(CASE WHEN element_at({segs}, -1) IN ('', '.', '..') "
+        "THEN '/' ELSE '' END)"
+    )
+    joined = f"concat('/', array_join({folded}, '/'))"
+    return (
+        f"CASE WHEN size({folded}) = 0 THEN '/' "
+        f"WHEN {trail} = '/' THEN concat({joined}, {trail}) "
+        f"ELSE {joined} END"
+    )
+
+
+def resolve_href_sql(b: str, h: str) -> str:
+    """SQL twin of :func:`resolve_href`; ``b``/``h`` are column names."""
+    sch = _sql_str(_SCHEME_RE)
+    scheme = f"lower(regexp_extract({b}, {sch}, 1))"
+    nofrag = f"regexp_replace({b}, '#.*$', '')"
+    after = f"regexp_replace({nofrag}, {sch}, '')"
+    hostport = f"lower(regexp_extract({after}, '^([^/?]*)', 1))"
+    origin = f"concat({scheme}, '://', {hostport})"
+    base_path = (
+        f"regexp_extract(regexp_replace({after}, '^[^/?]*', ''), '^([^?]*)', 1)"
+    )
+    base_dir = (
+        f"(CASE WHEN {base_path} RLIKE '/' "
+        f"THEN regexp_replace({base_path}, '/[^/]*$', '/') ELSE '/' END)"
+    )
+    hp = f"regexp_extract({h}, '^([^?#]*)', 1)"
+    hq = f"regexp_extract({h}, '([?#].*)$', 1)"
+    return (
+        f"CASE WHEN {h} RLIKE {sch} THEN {h} "
+        f"WHEN {h} RLIKE '^//' THEN concat({scheme}, ':', {h}) "
+        f"WHEN {h} RLIKE '^#' THEN concat({origin}, {base_path}, {h}) "
+        f"WHEN {h} RLIKE '^/' "
+        f"THEN concat({origin}, {_remove_dot_segments_sql(hp)}, {hq}) "
+        f"ELSE concat({origin}, "
+        f"{_remove_dot_segments_sql(f'concat({base_dir}, {hp})')}, {hq}) END"
+    )
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s)-style URL:
 

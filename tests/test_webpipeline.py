@@ -239,3 +239,46 @@ def test_strip_controls_and_whitespace(spark):
         spark, clean_whitespace(strip_controls(F.lit(raw)))
     )
     assert got == "abc d e f"
+
+
+def test_weblinks_sql_twins_match_columns(spark):
+    """r6: the SQL-text builders must produce exactly what the Column
+    builders produce, for absolute/relative/dot-segment/port/tracking/
+    no-scheme inputs (web_domain_outdegree runs the SQL twins)."""
+    from pyspark.sql import functions as F
+
+    from aide_spark.operators import weblinks as W
+
+    cases = [
+        ("http://www.shop1.co.uk/dir/page.html", "/t/a"),
+        ("http://www.shop2.co.uk/dir/page.html", "../up/./x.html?q=1#f"),
+        ("HTTP://Example.COM:80/Path/a?utm_source=n&b=2&a=1#frag", "other.html"),
+        ("https://Sub.Shop.co.uk:443/", "//cdn.example.com/lib.js"),
+        ("http://example.com:8080?q=1", "#frag-only"),
+        ("https://a.GitHub.io/p/q/", "../../../deep/../x"),
+        ("http://news.com.au/x?fbclid=abc", "https://abs.example.org:8443/y?z=1"),
+        ("http://h.test/a/b/c", ""),
+        ("http://h.test/a/b/", "."),
+        ("http://h.test", "/only?gclid=1&keep=2"),
+    ]
+    df = spark.createDataFrame(cases, "b string, href string")
+    col_chain = (
+        df.select(W.resolve_href(F.col("b"), F.col("href")).alias("r"))
+        .select(
+            F.col("r"),
+            W.canonicalize_url(F.col("r")).alias("u"),
+        )
+        .select(
+            "r",
+            "u",
+            W.url_host(F.col("u")).alias("h"),
+        )
+        .select("r", "u", "h", W.registrable_domain(F.col("h")).alias("d"))
+    )
+    sql_chain = (
+        df.select(F.expr(W.resolve_href_sql("b", "href")).alias("r"))
+        .select(F.col("r"), F.expr(W.canonicalize_url_sql("r")).alias("u"))
+        .select("r", "u", F.expr(W.url_host_sql("u")).alias("h"))
+        .select("r", "u", "h", F.expr(W.registrable_domain_sql("h")).alias("d"))
+    )
+    assert col_chain.collect() == sql_chain.collect()

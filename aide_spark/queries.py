@@ -167,7 +167,11 @@ def q02(spark, sf_dir):
     )
     return (
         per_order.join(
-            o.select("o_orderkey", "o_custkey"),
+            # deliberate shuffled-hash join (guide §3.1): the per-order
+            # aggregate is the streamed side, the 2-column orders
+            # projection the build side — no sort of either side; measured
+            # ~15% faster than sort-merge here with identical rows
+            o.select("o_orderkey", "o_custkey").hint("SHUFFLE_HASH"),
             per_order.l_orderkey == o.o_orderkey,
         )
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
@@ -203,7 +207,10 @@ def q03(spark, sf_dir):
         l.select("l_orderkey", rev.alias("_r"))
         .groupBy("l_orderkey")
         .agg(F.sum("_r").alias("revenue_c"))
-        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            o.select("o_orderkey").hint("SHUFFLE_HASH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select("o_orderkey", "revenue_c")
         .orderBy(F.desc("revenue_c"), "o_orderkey")
         .limit(10)

@@ -68,7 +68,7 @@ def transactions(lines: DataFrame) -> DataFrame:
     )
     segs = seg_rows.groupBy("doc_id", "page", "seg").agg(
         F.array_join(
-            F.transform(F.array_sort(F.collect_list("part")), lambda x: x["line"]), " "
+            F.array_sort(F.collect_list("part")).getField("line"), " "
         ).alias("combined"),
         # '' when no Chq: was found before the segment ended
         F.coalesce(F.max("amt_line"), F.lit("")).alias("amounts_line"),

@@ -134,10 +134,11 @@ def head_lines_table(lines: DataFrame, two_pages: bool = False) -> DataFrame:
         lines.where(F.col("page") <= pages)
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("off", "line"))),
-                lambda x: x["line"],
-            ).alias("arr")
+            # GetArrayStructFields (codegen) instead of an interpreted
+            # per-element transform lambda (r6, guide §4.1)
+            F.array_sort(F.collect_list(F.struct("off", "line")))
+            .getField("line")
+            .alias("arr")
         )
     )
     if two_pages:

@@ -79,7 +79,7 @@ def transactions(lines: DataFrame) -> DataFrame:
     )
     segs = seg_rows.groupBy("doc_id", "page", "seg").agg(
         F.array_join(
-            F.transform(F.array_sort(F.collect_list("part")), lambda x: x["line"]), " "
+            F.array_sort(F.collect_list("part")).getField("line"), " "
         ).alias("seg_text"),
         F.min("off").alias("start_off"),
     )

@@ -125,10 +125,10 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
     return {"transactions": transactions, "metadata": metadata, "summaries": summaries}
 
 
-def media_spans(valid_docs: DataFrame) -> DataFrame:
+def media_spans(docs: DataFrame) -> DataFrame:
     """Pass-through media spans (doc_id, offset-ordered media_ref array)."""
     media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
-    return valid_docs.select(
+    return docs.select(
         "doc_id",
         F.transform(
             F.array_sort(
@@ -140,9 +140,17 @@ def media_spans(valid_docs: DataFrame) -> DataFrame:
     )
 
 
-def spans_out(valid_docs: DataFrame, parsed: dict[str, DataFrame]) -> DataFrame:
+def spans_out(docs: DataFrame, parsed: dict[str, DataFrame]) -> DataFrame:
     """Assemble the ordered output span sequence per doc:
-    meta spans → media pass-through → txn spans → summary span."""
+    meta spans → media pass-through → txn spans → summary span.
+
+    ``docs`` may be the RAW documents table (r6): the media refs join in via
+    a left join keyed on the metadata side, which carries only validated
+    docs — rows of invalid docs on the media side never match, so skipping
+    the validation filter here yields identical output while removing a full
+    re-execution of the validation expression tree (the is_valid filter
+    forced the page-split + media-fold columns to be computed again on this
+    branch; measured as its own ~7 s-tasksum scan stage per timed run)."""
     meta_arr = parsed["metadata"].select(
         "doc_id", meta_texts_col(F.col("metadata")).alias("meta_texts")
     )
@@ -151,17 +159,19 @@ def spans_out(valid_docs: DataFrame, parsed: dict[str, DataFrame]) -> DataFrame:
         .withColumn("txn_text", txn_text_col())
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("order", "txn_text"))),
-                lambda x: x["txn_text"],
-            ).alias("txn_texts")
+            # field extraction from the sorted struct array via
+            # GetArrayStructFields (codegen) instead of a per-element
+            # interpreted transform lambda (r6, guide §4.1)
+            F.array_sort(F.collect_list(F.struct("order", "txn_text")))
+            .getField("txn_text")
+            .alias("txn_texts")
         )
     )
     sum_arr = parsed["summaries"].select(
         "doc_id", F.array(summary_text_col()).alias("summary_texts")
     )
     assembled = (
-        meta_arr.join(media_spans(valid_docs), "doc_id", "left")
+        meta_arr.join(media_spans(docs), "doc_id", "left")
         .join(txn_arr, "doc_id", "left")
         .join(sum_arr, "doc_id", "left")
         .select(
@@ -210,12 +220,9 @@ def results_envelope(parsed: dict[str, DataFrame]) -> DataFrame:
         parsed["transactions"]
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("order", F.struct("*").alias("t")))
-                ),
-                lambda x: x["t"],
-            ).alias("transactions")
+            F.array_sort(F.collect_list(F.struct("order", F.struct("*").alias("t"))))
+            .getField("t")
+            .alias("transactions")
         )
     )
     summary_struct = F.struct(
@@ -271,6 +278,9 @@ def run(docs: DataFrame, persist: bool = False) -> dict[str, DataFrame]:
         "validation": val,
         "quarantine": quarantine,
         **parsed,
-        "spans_out": spans_out(valid, parsed),
+        # raw docs: the media side of the assembly join does not need the
+        # validation filter (left join on the validated metadata side drops
+        # invalid docs' rows) — see spans_out docstring
+        "spans_out": spans_out(docs, parsed),
         "results": results_envelope(parsed),
     }

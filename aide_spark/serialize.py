@@ -146,13 +146,17 @@ def _fmt(col: Column, tag: str) -> Column:
     return col
 
 
-def _kv_array(pairs: list[tuple[str, Column, str]]) -> Column:
-    """array of 'key=value' strings, null entries (unset fields) dropped."""
-    items = [
+def _kv_items(pairs: list[tuple[str, Column, str]]) -> list[Column]:
+    """'key=value' string per field, NULL for unset fields."""
+    return [
         F.when(col.isNotNull(), F.concat(F.lit(key + "="), _fmt(col, tag)))
         for key, col, tag in pairs
     ]
-    return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+
+def _kv_array(pairs: list[tuple[str, Column, str]]) -> Column:
+    """array of 'key=value' strings, null entries (unset fields) dropped."""
+    return F.filter(F.array(*_kv_items(pairs)), lambda x: x.isNotNull())
 
 
 def meta_texts_col(meta: Column) -> Column:
@@ -162,16 +166,22 @@ def meta_texts_col(meta: Column) -> Column:
 
 
 def txn_text_col() -> Column:
-    """'|'-joined key=value text for one TRANSACTIONS_OUT row."""
-    return F.array_join(
-        _kv_array([(k, F.col(f), t) for k, f, t in TXN_ORDER]), "|"
-    )
+    """'|'-joined key=value text for one TRANSACTIONS_OUT row.
+
+    r6: ``concat_ws`` skips NULL arguments, which is exactly the
+    array_join(filter(not-null)) composition it replaces — but it is a
+    single whole-stage-codegen expression, where the interpreted
+    ``ArrayFilter`` lambda showed up in steady-state thread samples of the
+    assembly stage (guide §4.1: prefer built-ins over per-element lambdas;
+    this runs once per transaction row, the hottest row count out of the
+    parse stage)."""
+    return F.concat_ws("|", *_kv_items([(k, F.col(f), t) for k, f, t in TXN_ORDER]))
 
 
 def summary_text_col() -> Column:
     """'|'-joined key=value text for one SUMMARY row."""
-    return F.array_join(
-        _kv_array([(k, F.col(f), t) for k, f, t in SUMMARY_ORDER]), "|"
+    return F.concat_ws(
+        "|", *_kv_items([(k, F.col(f), t) for k, f, t in SUMMARY_ORDER])
     )
 
 

@@ -34,9 +34,17 @@ def py_strip(c: Column) -> Column:
 
 def pages_col(spans: Column) -> Column:
     """array<string> of per-page text, exactly as a PDF reader would yield it
-    (media spans contribute no text; PAGE_BREAK spans delimit pages)."""
-    texts = F.transform(
-        F.filter(spans, lambda s: s["kind"] == F.lit("text")), lambda s: s["text"]
+    (media spans contribute no text; PAGE_BREAK spans delimit pages).
+
+    r6: one ``zip_with`` pass over the codegen-extracted ``kind``/``text``
+    field arrays instead of a struct-array filter + transform (two
+    interpreted passes with per-element struct access). ``array_join``
+    skips NULL elements, so NULLing the media entries joins identically to
+    filtering them out."""
+    texts = F.zip_with(
+        spans.getField("kind"),
+        spans.getField("text"),
+        lambda k, t: F.when(k == F.lit("text"), t),
     )
     return F.split(F.array_join(texts, "\n"), _BREAK_RE)
 
@@ -55,9 +63,25 @@ def head_text_col(spans: Column, n_pages: int, sep_newline: bool = False) -> Col
     return F.array_join(pages, "")
 
 
+def _nth_break_cut(spans: Column, n: int) -> Column:
+    """Offset of the ``n``-th PAGE_BREAK span (NULL when there are fewer) —
+    a span sits on page <= n iff its offset is below this cut (``offset`` is
+    the total order within the doc, see :func:`line_table`)."""
+    breaks = F.filter(
+        spans, lambda s: (s["kind"] == "text") & (s["text"] == PAGE_BREAK)
+    )
+    return F.try_element_at(breaks, F.lit(n)).getField("offset")
+
+
 def media_in_first_pages(spans: Column, n_pages: int = 5) -> Column:
     """V6 image probe: any media span within the first N pages
-    (pdf_validator.py:209-232). Single array-fold, no shuffle."""
+    (pdf_validator.py:209-232). Single array-fold, no shuffle.
+
+    Kept as ONE fold on purpose (r6): this expression gets inlined into the
+    valid-docs Filter by predicate pushdown, and any sub-expression (e.g. a
+    precomputed break cut) embedded inside a lambda there is re-evaluated
+    per array element — a cut-based variant measured O(spans²) per doc.
+    The fold is one O(spans) pass wherever it lands."""
     return F.aggregate(
         spans,
         F.struct(F.lit(1).alias("page"), F.lit(False).alias("found")),
@@ -108,6 +132,61 @@ def line_table(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
             py_strip(F.col("s.text")).alias("line"),
         )
     )
+
+
+def head_lines_frame(docs: DataFrame, two_pages: bool = False) -> DataFrame:
+    """(doc_id, arr) — the first-page (or two-page) trimmed line ARRAY as a
+    zero-shuffle chain of array expressions over the spans column —
+    row-for-row identical to ``head_lines_table`` over the exploded line
+    table plus the pipeline's old left-join default (r6).
+
+    Equivalences with the join path:
+    * lines of pages <= N = text spans (breaks excluded) before the N-th
+      PAGE_BREAK, in offset order = array order (offset is the total order);
+    * each line is Python-stripped, exactly as ``line_table`` emits it;
+    * a doc with NO qualifying lines maps to the join-miss default the
+      pipeline coalesced in ([''] for one page, ['', ''] for two);
+    * ``two_pages`` appends the trailing '' of APGVB's page1+page2+'\\n'
+      assembly to non-empty arrays, as ``head_lines_table`` did.
+
+    Motivation (guide §2.4 — remove shuffles outright): the metadata branch
+    previously exploded every span of every page, ran the page-number
+    window, shuffled the head lines into a per-doc collect_list and joined
+    them back to the branch docs. All of that existed to build this array;
+    building it in place makes the metadata input a narrow projection with
+    zero shuffles.
+
+    Staging discipline: every intermediate that a later lambda references
+    (``_cut``, ``_kept``) is materialized behind a one-element ``explode``
+    — a Generate node projections cannot collapse through. A Column
+    embedded inside a lambda is re-evaluated PER ARRAY ELEMENT, so an
+    unstaged ``_cut`` turns the break scan into O(spans²) per doc, and
+    CollapseProject inlines plain aliases into lambda bodies (the
+    non-cheap-duplication guard does not see lambda-nested references).
+    """
+    pages = 2 if two_pages else 1
+    staged = docs.select(
+        "doc_id",
+        "spans",
+        F.explode(F.array(_nth_break_cut(F.col("spans"), pages))).alias("_cut"),
+    )
+    cut = F.col("_cut")
+    kept = F.filter(
+        F.col("spans"),
+        lambda s: (s["kind"] == "text")
+        & (s["text"] != PAGE_BREAK)
+        & (cut.isNull() | (s["offset"] < cut)),
+    )
+    staged = staged.select("doc_id", F.explode(F.array(kept)).alias("_kept"))
+    arr = F.transform(F.col("_kept"), lambda s: py_strip(s["text"]))
+    if two_pages:
+        filled = F.concat(arr, F.array(F.lit("")))
+        default = F.array(F.lit(""), F.lit(""))
+    else:
+        filled = arr
+        default = F.array(F.lit(""))
+    final = F.when(F.size("_kept") > 0, filled).otherwise(default)
+    return staged.select("doc_id", F.explode(F.array(final)).alias("arr"))
 
 
 def head_lines_table(lines: DataFrame, two_pages: bool = False) -> DataFrame:

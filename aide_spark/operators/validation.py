@@ -52,24 +52,47 @@ def with_validation(docs: DataFrame) -> DataFrame:
     (pdf_validator.py:44-73's cheapest-first predicate order) then run over
     plain scalar columns."""
     spans = F.col("spans")
-    staged = docs.withColumns(
-        {
-            "_pages": pages_col(spans),
-            "_media": media_in_first_pages(spans, 5),
-        }
-    )
+    # r6: the stages are one-element explode (Generate) barriers, not plain
+    # withColumns projections. The ``where(is_valid)`` consumers push their
+    # filter down THROUGH projections, inlining the aliased heavy
+    # expressions into the filter condition — the ladder references
+    # page_count/text_length/_media several times, so the page split ran
+    # ~4x per doc in every branch subtree. A filter cannot push through a
+    # Generate whose output it references, so each stage is evaluated
+    # exactly once per doc and the ladders read stored scalars.
+    staged = docs.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    pages_col(spans).alias("p"),
+                    media_in_first_pages(spans, 5).alias("m"),
+                )
+            )
+        ).alias("_pm"),
+    ).select("*", F.col("_pm.p").alias("_pages"), F.col("_pm.m").alias("_media"))
     # total_text = ''.join(first 5 page texts); Python-strip()ped length
     text5 = F.array_join(F.slice("_pages", 1, 5), "")
-    staged = staged.withColumns(
-        {
-            "page_count": F.when(F.size(spans) <= 0, F.lit(0))
-            .otherwise(F.size("_pages"))
-            .cast("int"),
-            "text_length": F.length(
-                F.regexp_replace(text5, r"^\s+|\s+$", "")
-            ).cast("int"),
-        }
-    )
+    staged = staged.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.when(F.size(spans) <= 0, F.lit(0))
+                    .otherwise(F.size("_pages"))
+                    .cast("int")
+                    .alias("pc"),
+                    F.length(F.regexp_replace(text5, r"^\s+|\s+$", ""))
+                    .cast("int")
+                    .alias("tl"),
+                )
+            )
+        ).alias("_ct"),
+    ).select(
+        "*",
+        F.col("_ct.pc").alias("page_count"),
+        F.col("_ct.tl").alias("text_length"),
+    ).drop("_pm", "_ct")
 
     size_gate = (
         F.col("declared_size_mb") > MAX_FILE_SIZE_MB,

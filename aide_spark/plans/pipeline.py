@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import apgvb_parser, canara_parser, union_parser, validation
-from ..operators.lines import head_lines_table, line_table
+from ..operators.lines import head_lines_frame, line_table
 from ..serialize import meta_texts_col, summary_text_col, txn_text_col
 
 SUMMARY_COLS = [
@@ -63,17 +63,13 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
     c_docs = valid_docs.where(F.col("bank_id") == "CANARA")
     a_docs = valid_docs.where(F.col("bank_id") == "APGVB")
 
-    # metadata inputs: the first-page line ARRAY, materialized once per doc
-    # behind an aggregation barrier (lines.head_lines_table docstring).
-    # Docs whose head pages have no text lines still get a metadata row
+    # metadata inputs: the first-page line ARRAY, built in place by
+    # lines.head_lines_frame (r6) — zero-shuffle, staged behind Generate
+    # barriers so nothing is re-evaluated per probe or per element. Docs
+    # whose head pages have no text lines still get a metadata row
     # (reference: metadata extracted from '' text ⇒ constants only).
-    def meta_input(branch_docs, branch_lines, two_pages=False):
-        empty = [""] * (2 if two_pages else 1)
-        return branch_docs.select("doc_id").join(
-            head_lines_table(branch_lines, two_pages=two_pages), "doc_id", "left"
-        ).withColumn(
-            "arr", F.coalesce(F.col("arr"), F.array(*[F.lit(x) for x in empty]))
-        )
+    def meta_input(branch_docs, two_pages=False):
+        return head_lines_frame(branch_docs, two_pages=two_pages)
 
     transactions = (
         union_parser.transactions(u_lines).withColumn("bank_id", F.lit("UNION"))
@@ -85,10 +81,10 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
         )
     )
     metadata = (
-        union_parser.metadata(meta_input(u_docs, u_lines))
-        .unionByName(canara_parser.metadata(meta_input(c_docs, c_lines)))
+        union_parser.metadata(meta_input(u_docs))
+        .unionByName(canara_parser.metadata(meta_input(c_docs)))
         .unionByName(
-            apgvb_parser.metadata(meta_input(a_docs, a_lines, two_pages=True))
+            apgvb_parser.metadata(meta_input(a_docs, two_pages=True))
         )
     )
     if persist:

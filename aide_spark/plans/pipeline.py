@@ -98,8 +98,18 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
         # on first use and lineage is kept for the rest, so partial
         # consumption stays correct; blocks are released by the
         # ContextCleaner when the frames are garbage collected.
-        transactions = transactions.localCheckpoint(eager=False)
-        metadata = metadata.localCheckpoint(eager=False)
+        #
+        # The three-branch union concatenates each branch's shuffle-width
+        # partitions, so the checkpointed frames (and every downstream
+        # stage over them) carried 3x the session's parallelism in tasks —
+        # pure per-task scheduling/deserialization overhead at any scale.
+        # coalesce back to the session shuffle width (the cluster-sized
+        # bound; a narrow dependency, no extra shuffle: each task computes
+        # its three branch partitions back to back).
+        spark = transactions.sparkSession
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        transactions = transactions.coalesce(width).localCheckpoint(eager=False)
+        metadata = metadata.coalesce(width).localCheckpoint(eager=False)
 
     summaries = (
         union_parser.summary(transactions.where(F.col("bank_id") == "UNION"))

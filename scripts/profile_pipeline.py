@@ -94,8 +94,18 @@ def main() -> None:
             e = ev.get("Event")
             if e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name")
+                        except Exception:
+                            nm = None
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"],
+                    "name": ",".join(scopes[:14]) or si["Stage Name"],
                     "sub": si.get("Submission Time"),
                     "done": si.get("Completion Time"),
                     "ntask": si["Number of Tasks"],

